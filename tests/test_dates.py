@@ -12,15 +12,19 @@ import pytest
 
 from soweego_spark.functions import dates
 
-PD_FREQ_ORDER = ["A-DEC", "M", "D", "H", "T", "S", "U", "N"]
+# The reference pins pandas<1 names ("A-DEC", "T"); pandas 2 renamed them.
+PD_FREQ_DEPTH = {
+    "A-DEC": 0, "YE-DEC": 0, "M": 1, "ME": 1, "D": 2, "H": 3, "h": 3,
+    "T": 4, "min": 4, "S": 5, "s": 5,
+}
 
 
 def _ref_score(left_periods, right_periods):
     best = 0.0
     for s in left_periods:
         for t in right_periods:
-            sp = PD_FREQ_ORDER.index(s.freq.name)
-            tp = PD_FREQ_ORDER.index(t.freq.name)
+            sp = PD_FREQ_DEPTH[s.freq.name]
+            tp = PD_FREQ_DEPTH[t.freq.name]
             lowest = min(sp, tp)
             cur = 0
             for need, attr in enumerate(
