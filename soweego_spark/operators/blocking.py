@@ -1,0 +1,193 @@
+"""Candidate-pair generation (blocking) — salted multi-key, skew-aware.
+
+Reference analogue: MariaDB FULLTEXT blocking with a top-5 cap per item
+(linker/blocking.py:44-166). Spark-first redesign (SURVEY.md §2.4 B1-B4):
+
+1. **Name-token inverted index** — explode ``name_tokens``, drop tokens whose
+   document frequency exceeds ``token_df_cap`` (the hot-token/skew guard:
+   a Zipfian token would otherwise explode the self-join quadratically; the
+   cap is correctness-neutral because a token shared by thousands of docs
+   carries no linking signal — same spirit as the reference's FTS relevance
+   ranking + LIMIT 5), self-join on token, score pairs by shared-token
+   count, keep the top ``top_k`` per document (window over the pair list —
+   the reference's only top-k, blocking.py:142).
+2. **Exact outbound-URL key** — explode validated ``urls``; documents citing
+   the same profile link are candidates (B4 analogue).
+3. **MinHash-LSH bands** — ``num_hashes`` per-shingle xxhash64 minima computed
+   entirely JVM-side with ``array_min(transform(...))`` (no explode, no
+   Python), banded ``rows_per_band`` at a time; band buckets larger than
+   ``band_cap`` are dropped (skew guard).
+
+All three key families are unioned and deduped into ``(url_a, url_b)`` with
+``url_a < url_b``. Every join here is an equi-join on a key column —
+Catalyst picks shuffle-hash/SMJ and AQE splits skewed partitions at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _canonical(pairs: DataFrame) -> DataFrame:
+    return pairs.select(
+        F.least("url_a", "url_b").alias("url_a"),
+        F.greatest("url_a", "url_b").alias("url_b"),
+    ).filter(F.col("url_a") != F.col("url_b"))
+
+
+def token_blocking(
+    sig: DataFrame,
+    top_k: int = 5,
+    token_df_cap: int = 1000,
+    token_col: str = "name_tokens",
+) -> DataFrame:
+    """Inverted-index self-join on name tokens with per-doc top-k.
+
+    Returns (url_a, url_b, shared_tokens) — ``shared_tokens`` is the rank
+    score (reference: FTS relevance).
+    """
+    idx = sig.select("url", F.explode(token_col).alias("token"))
+
+    # Hot-token guard: document frequency per token, computed once and
+    # joined back (a broadcast-able aggregate at any scale: |vocab| rows).
+    df_counts = idx.groupBy("token").agg(F.count("*").alias("df"))
+    keep = df_counts.filter(F.col("df") <= token_df_cap).select("token")
+    idx = idx.join(F.broadcast(keep), "token")
+
+    left = idx.select(F.col("token"), F.col("url").alias("url_a"))
+    right = idx.select(F.col("token"), F.col("url").alias("url_b"))
+    pairs = (
+        left.join(right, "token")
+        .filter(F.col("url_a") < F.col("url_b"))
+        .groupBy("url_a", "url_b")
+        .agg(F.count("*").alias("shared_tokens"))
+    )
+
+    # Top-k per document on either side (the dedup-symmetric version of the
+    # reference's per-item LIMIT 5).
+    w_a = Window.partitionBy("url_a").orderBy(
+        F.desc("shared_tokens"), F.asc("url_b")
+    )
+    w_b = Window.partitionBy("url_b").orderBy(
+        F.desc("shared_tokens"), F.asc("url_a")
+    )
+    return (
+        pairs.withColumn("rank_a", F.row_number().over(w_a))
+        .withColumn("rank_b", F.row_number().over(w_b))
+        .filter((F.col("rank_a") <= top_k) | (F.col("rank_b") <= top_k))
+        .select("url_a", "url_b", "shared_tokens")
+    )
+
+
+def url_blocking(sig: DataFrame, url_df_cap: int = 50) -> DataFrame:
+    """Documents sharing an exact outbound URL."""
+    idx = sig.filter(F.col("urls").isNotNull()).select(
+        "url", F.explode("urls").alias("out_url")
+    )
+    counts = idx.groupBy("out_url").agg(F.count("*").alias("df"))
+    keep = counts.filter(F.col("df") <= url_df_cap).select("out_url")
+    idx = idx.join(F.broadcast(keep), "out_url")
+    left = idx.select("out_url", F.col("url").alias("url_a"))
+    right = idx.select("out_url", F.col("url").alias("url_b"))
+    return _canonical(
+        left.join(right, "out_url").filter(F.col("url_a") < F.col("url_b"))
+    ).distinct()
+
+
+def shingles(col, n: int = 3):
+    """Char n-gram shingles of a (already normalized) string column —
+    JVM-side: substring over a sequence, no UDF."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
+            lambda i: padded.substr(i, F.lit(n)),
+        )
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 12):
+    """ARRAY<BIGINT> of per-seed minima over shingle hashes, fully JVM-side."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_blocking(
+    sig: DataFrame,
+    text_expr=None,
+    num_hashes: int = 12,
+    rows_per_band: int = 2,
+    band_cap: int = 200,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash-LSH band blocking over a text expression.
+
+    Defaults to the concatenated normalized name — near-duplicate names land
+    in the same band with high probability even when token blocking misses
+    (misspellings change tokens but only a few shingles).
+    """
+    if text_expr is None:
+        text_expr = F.array_join(F.col("name"), " ")
+    n_bands = num_hashes // rows_per_band
+
+    with_sig = sig.select(
+        "url",
+        minhash_signature(
+            shingles(text_expr, shingle_size), num_hashes
+        ).alias("mh"),
+    )
+    bands = with_sig.select(
+        "url",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.element_at("mh", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("url", "bk.band", "bk.sig")
+
+    counts = bands.groupBy("band", "sig").agg(F.count("*").alias("df"))
+    keep = counts.filter(F.col("df") <= band_cap).select("band", "sig")
+    bands = bands.join(F.broadcast(keep), ["band", "sig"])
+
+    left = bands.select("band", "sig", F.col("url").alias("url_a"))
+    right = bands.select("band", "sig", F.col("url").alias("url_b"))
+    return _canonical(
+        left.join(right, ["band", "sig"]).filter(F.col("url_a") < F.col("url_b"))
+    ).distinct()
+
+
+def block_candidates(
+    sig: DataFrame,
+    top_k: int = 5,
+    token_df_cap: int = 1000,
+    use_lsh: bool = True,
+    use_url_key: bool = True,
+) -> DataFrame:
+    """Union of all blocking keys -> distinct candidate pairs
+    (url_a, url_b) with url_a < url_b."""
+    pairs = token_blocking(sig, top_k=top_k, token_df_cap=token_df_cap).select(
+        "url_a", "url_b"
+    )
+    if use_url_key:
+        pairs = pairs.unionByName(url_blocking(sig))
+    if use_lsh:
+        pairs = pairs.unionByName(lsh_blocking(sig))
+    return pairs.distinct()

@@ -1,0 +1,235 @@
+"""Training + scoring (SURVEY.md §2.10, M1-M12).
+
+The labeled feature matrix is small (≤ low 10^5 pairs even for the largest
+reference runs) -> train on the driver in numpy with pinned determinism, then
+push the fitted *linear* model back into the plan as pure column arithmetic:
+``sigmoid(X·w + b)`` is a JVM-side expression — scoring costs zero Python.
+This is the BASELINE.json "broadcast-distributed trained linear classifier"
+pattern; for a linear model the broadcast degenerates to literals in the
+plan, which is strictly cheaper than shipping a pickled model to a pandas
+UDF.
+
+Models (reference parity):
+  LogisticRegression  M2, liblinear C=1.0 analogue     -> IRLS w/ L2(1/C)
+  NaiveBayes          M1, binarize=0.2 alpha=1e-4      -> Bernoulli NB; its
+                      log-odds are LINEAR in the binarized features, so
+                      scoring is again pure column math
+  LinearSVM           M3 (no probabilities; sign -> 0/1) -> pegasos-style
+                      deterministic subgradient descent
+
+Post-classification rules (M12, linker/link.py:203-215,325-367):
+  name rule: score -> 0 when the two name-token sets are disjoint
+  url rule:  score -> 1 when the pair shares an exact catalog/profile URL
+             (the wikidata-url rule re-expressed for web pages: a shared
+             canonical external identifier URL is treated as ground truth)
+
+Threshold + dedup (P4/P5): filter >= 0.5, dropDuplicates on the pair key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from soweego_spark.operators.pairfeatures import FEATURE_COLUMNS
+
+CONFIDENCE_THRESHOLD = 0.5  # reference constants.py:358
+
+
+@dataclass
+class LinearModel:
+    """weights/bias over FEATURE_COLUMNS; optional binarization threshold
+    (Bernoulli NB is linear in the binarized features)."""
+
+    features: list[str]
+    weights: np.ndarray
+    bias: float
+    binarize: float | None = None
+    kind: str = "logistic"
+
+    def score_column(self):
+        """The scoring expression: sigmoid(w·x + b) as a Catalyst column."""
+        acc = F.lit(float(self.bias))
+        for name, w in zip(self.features, self.weights):
+            col = F.col(name)
+            if self.binarize is not None:
+                col = (col > F.lit(float(self.binarize))).cast("double")
+            acc = acc + col * F.lit(float(w))
+        if self.kind == "svm":
+            return (acc > 0).cast("double")
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-acc))
+
+
+def train_logistic(
+    X: np.ndarray,
+    y: np.ndarray,
+    features: list[str] = FEATURE_COLUMNS,
+    l2: float = 1.0,
+    max_iter: int = 50,
+    tol: float = 1e-8,
+) -> LinearModel:
+    """IRLS (Newton) logistic regression — deterministic, no seed needed.
+
+    ``l2`` matches liblinear's 1/C with C=1.0 (reference constants.py:368).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, d = X.shape
+    Xb = np.hstack([X, np.ones((n, 1))])
+    w = np.zeros(d + 1)
+    reg = np.full(d + 1, l2)
+    reg[-1] = 0.0  # don't penalize the intercept
+    for _ in range(max_iter):
+        z = Xb @ w
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+        g = Xb.T @ (p - y) + reg * w
+        s = np.clip(p * (1 - p), 1e-9, None)
+        H = (Xb * s[:, None]).T @ Xb + np.diag(reg + 1e-9)
+        step = np.linalg.solve(H, g)
+        w -= step
+        if np.max(np.abs(step)) < tol:
+            break
+    return LinearModel(list(features), w[:-1], float(w[-1]), kind="logistic")
+
+
+def train_naive_bayes(
+    X: np.ndarray,
+    y: np.ndarray,
+    features: list[str] = FEATURE_COLUMNS,
+    binarize: float = 0.2,
+    alpha: float = 1e-4,
+) -> LinearModel:
+    """Bernoulli NB on binarized features (reference constants.py:367)."""
+    X = (np.asarray(X, dtype=np.float64) > binarize).astype(np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    n1, n0 = y.sum(), n - y.sum()
+    p1 = (X[y == 1].sum(axis=0) + alpha) / (n1 + 2 * alpha)
+    p0 = (X[y == 0].sum(axis=0) + alpha) / (n0 + 2 * alpha)
+    w = np.log(p1 / p0) - np.log((1 - p1) / (1 - p0))
+    bias = (
+        np.log(max(n1, alpha) / max(n0, alpha))
+        + np.sum(np.log(1 - p1) - np.log(1 - p0))
+    )
+    return LinearModel(list(features), w, float(bias), binarize=binarize, kind="nb")
+
+
+def train_linear_svm(
+    X: np.ndarray,
+    y: np.ndarray,
+    features: list[str] = FEATURE_COLUMNS,
+    lam: float = 1e-3,
+    epochs: int = 200,
+) -> LinearModel:
+    """Deterministic full-batch subgradient descent on the hinge loss."""
+    X = np.asarray(X, dtype=np.float64)
+    yy = np.where(np.asarray(y) > 0, 1.0, -1.0)
+    n, d = X.shape
+    Xb = np.hstack([X, np.ones((n, 1))])
+    w = np.zeros(d + 1)
+    for t in range(1, epochs + 1):
+        margin = yy * (Xb @ w)
+        viol = margin < 1
+        grad = lam * w - (Xb[viol] * yy[viol, None]).sum(axis=0) / n
+        w -= grad / (lam * t)
+    return LinearModel(list(features), w[:-1], float(w[-1]), kind="svm")
+
+
+def collect_training_matrix(
+    features: DataFrame, labeled: DataFrame
+) -> tuple[np.ndarray, np.ndarray]:
+    """Join the labeled pair set to its feature vectors, collect to driver.
+
+    The collect is bounded: |labeled pairs|, not |candidate pairs|.
+    """
+    rows = (
+        labeled.join(features, ["url_a", "url_b"])
+        .select(*FEATURE_COLUMNS, "label")
+        .collect()
+    )
+    X = np.array([[r[c] for c in FEATURE_COLUMNS] for r in rows])
+    y = np.array([r["label"] for r in rows], dtype=np.float64)
+    return X, y
+
+
+def score(features: DataFrame, model: LinearModel) -> DataFrame:
+    """(url_a, url_b, features...) -> + score column, fully JVM-side."""
+    return features.withColumn("score", model.score_column())
+
+
+def apply_rules(
+    scored: DataFrame,
+    pair_rows: DataFrame | None = None,
+    name_rule: bool = True,
+    url_rule: bool = True,
+) -> DataFrame:
+    """M12 post rules. Needs the assembled pair columns; pass the wide pair
+    rows or make sure ``scored`` still carries a_*/b_* columns."""
+    df = scored
+    if pair_rows is not None:
+        df = df.join(
+            pair_rows.select(
+                "url_a", "url_b", "a_name_tokens", "b_name_tokens",
+                "a_urls", "b_urls",
+            ),
+            ["url_a", "url_b"],
+        )
+    out = F.col("score")
+    if name_rule:
+        disjoint = (
+            F.col("a_name_tokens").isNotNull()
+            & F.col("b_name_tokens").isNotNull()
+            & (
+                F.size(
+                    F.array_intersect("a_name_tokens", "b_name_tokens")
+                )
+                == 0
+            )
+        )
+        out = F.when(disjoint, F.lit(0.0)).otherwise(out)
+    if url_rule:
+        shared_url = (
+            F.col("a_urls").isNotNull()
+            & F.col("b_urls").isNotNull()
+            & F.arrays_overlap("a_urls", "b_urls")
+        )
+        out = F.when(shared_url, F.lit(1.0)).otherwise(out)
+    return df.withColumn("score", out).select(
+        "url_a", "url_b", *[c for c in scored.columns if c not in ("url_a", "url_b")]
+    )
+
+
+def threshold_and_dedup(
+    scored: DataFrame, threshold: float = CONFIDENCE_THRESHOLD
+) -> DataFrame:
+    """P4 threshold + P5 first-of-duplicates."""
+    return (
+        scored.filter(F.col("score") >= F.lit(threshold))
+        .dropDuplicates(["url_a", "url_b"])
+        .select("url_a", "url_b", "score")
+    )
+
+
+def confusion_and_f1(predicted: DataFrame, labeled: DataFrame) -> dict:
+    """A4: P/R/F1 via pair-set joins (evaluate.py:282-295 as DataFrame math).
+
+    F1 is computed over the labeled pairs only (the BASELINE.json contract:
+    labeled pairs share a blocking key, so blocking misses don't penalize).
+    """
+    pred = predicted.select("url_a", "url_b").distinct()
+    pos = labeled.filter(F.col("label") == 1).select("url_a", "url_b")
+    neg = labeled.filter(F.col("label") == 0).select("url_a", "url_b")
+    tp = pos.join(pred, ["url_a", "url_b"], "left_semi").count()
+    fn = pos.join(pred, ["url_a", "url_b"], "left_anti").count()
+    fp = neg.join(pred, ["url_a", "url_b"], "left_semi").count()
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return dict(tp=tp, fp=fp, fn=fn, precision=precision, recall=recall, f1=f1)

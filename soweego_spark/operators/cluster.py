@@ -1,0 +1,113 @@
+"""Transitive clustering: large-star/small-star connected components.
+
+Not present in the reference (it only dedups the (qid,tid) index,
+linker/link.py:222-223) — required by the north rule for web-scale entity
+resolution: match edges form components; each component is one entity.
+
+Algorithm: alternating large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — converges in O(log n)
+rounds, each round two shuffles (groupBy + join-free emits). Labels are the
+lexicographic-min URL of the component, so output is deterministic and needs
+no global id assignment (no zipWithIndex at 10^12 rows).
+
+Driver-side control flow is the convergence loop only; per-iteration
+``localCheckpoint`` truncates lineage so plans don't grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every neighbor v > u to m = min(N(u) ∪ {u})."""
+    sym = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    grouped = sym.groupBy("u").agg(
+        F.collect_set("v").alias("nbrs"),
+    )
+    m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u"))))
+    return (
+        grouped.select(
+            F.explode(
+                F.filter(F.col("nbrs"), lambda v: v > F.col("u"))
+            ).alias("src"),
+            m.alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every neighbor v <= u (and u) to the min."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    grouped = directed.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u"))))
+    return (
+        grouped.select(
+            F.explode(
+                F.array_union(F.col("nbrs"), F.array(F.col("u")))
+            ).alias("src"),
+            m.alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "url_a",
+    dst: str = "url_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Edge list -> (url, cluster_id) with cluster_id = min url in component.
+
+    Only nodes that appear in an edge are returned; callers union isolated
+    nodes with ``cluster_id = url`` themselves (see ``assign_clusters``).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    e = e.localCheckpoint()
+
+    def _fingerprint(df):
+        # Order-insensitive edge-set fingerprint: count + hash sum. One
+        # lightweight action per iteration (runs on the checkpointed RDD).
+        row = df.select(
+            F.count("*").alias("n"),
+            F.sum(F.hash("src", "dst").cast("long")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(e)
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        fp_new = _fingerprint(e)
+        if fp_new == fp:
+            break
+        fp = fp_new
+    # After convergence every edge points node -> component min (a star).
+    members = e.select(F.col("src").alias("url"), F.col("dst").alias("cluster_id"))
+    roots = e.select(F.col("dst").alias("url"), F.col("dst").alias("cluster_id"))
+    return members.unionByName(roots).distinct()
+
+
+def assign_clusters(
+    nodes: DataFrame, edges: DataFrame, node_col: str = "url"
+) -> DataFrame:
+    """All nodes -> (url, cluster_id); nodes without edges are singletons."""
+    comp = connected_components(edges)
+    return (
+        nodes.select(F.col(node_col).alias("url"))
+        .distinct()
+        .join(comp, "url", "left")
+        .select(
+            "url", F.coalesce("cluster_id", F.col("url")).alias("cluster_id")
+        )
+    )

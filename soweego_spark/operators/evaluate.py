@@ -1,0 +1,81 @@
+"""K-fold evaluation harness (reference linker/evaluate.py as DataFrame math).
+
+Folds are assigned by a deterministic hash of the pair key (no RNG state to
+ship to executors; the reference uses seeded StratifiedKFold, seeds 610/1269
+— a pinned hash split is the order-invariant Spark equivalent). Per fold:
+train on the rest, predict the held-out fold, union predictions across folds
+(evaluate.py:379-382), then P/R/F1 over the full labeled set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from soweego_spark.operators import classify as clf
+from soweego_spark.operators.pairfeatures import FEATURE_COLUMNS
+
+
+def with_fold(labeled: DataFrame, k: int = 5) -> DataFrame:
+    return labeled.withColumn(
+        "fold", F.pmod(F.hash("url_a", "url_b"), F.lit(k))
+    )
+
+
+def kfold_scores(
+    features: DataFrame,
+    labeled: DataFrame,
+    k: int = 5,
+    trainer=clf.train_logistic,
+    threshold: float = clf.CONFIDENCE_THRESHOLD,
+) -> dict:
+    """Cross-validated P/R/F1 on the labeled pairs.
+
+    The labeled feature matrix is collected once (bounded by |labeled|);
+    fold training happens in numpy on the driver, mirroring the reference's
+    sklearn-on-one-node evaluation protocol (docs/evaluations.rst:5-14).
+    """
+    rows = (
+        with_fold(labeled, k)
+        .join(features, ["url_a", "url_b"])
+        .select(*FEATURE_COLUMNS, "label", "fold")
+        .collect()
+    )
+    X = np.array([[r[c] for c in FEATURE_COLUMNS] for r in rows])
+    y = np.array([r["label"] for r in rows], dtype=np.float64)
+    folds = np.array([r["fold"] for r in rows])
+
+    per_fold = []
+    tp = fp = fn = 0
+    for f in range(k):
+        test = folds == f
+        model = trainer(X[~test], y[~test])
+        z = X[test] @ model.weights + model.bias
+        if model.binarize is not None:
+            z = (X[test] > model.binarize).astype(float) @ model.weights + model.bias
+        pred = (
+            (z > 0).astype(float)
+            if model.kind == "svm"
+            else 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+        )
+        hit = pred >= threshold
+        ftp = int(((y[test] == 1) & hit).sum())
+        ffp = int(((y[test] == 0) & hit).sum())
+        ffn = int(((y[test] == 1) & ~hit).sum())
+        tp, fp, fn = tp + ftp, fp + ffp, fn + ffn
+        p = ftp / (ftp + ffp) if ftp + ffp else 0.0
+        r = ftp / (ftp + ffn) if ftp + ffn else 0.0
+        per_fold.append(2 * p * r / (p + r) if p + r else 0.0)
+
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return dict(
+        f1=f1,
+        precision=precision,
+        recall=recall,
+        f1_mean=float(np.mean(per_fold)),
+        f1_std=float(np.std(per_fold)),
+        per_fold=per_fold,
+    )

@@ -1,0 +1,207 @@
+"""pages -> signatures: the extraction stage.
+
+One ``mapInPandas`` pass turns each raw page row into a structured entity
+signature (SURVEY.md §1.2 Spark mapping; reference analogue: the dump-field
+extraction in importer/*_dump_extractor.py + the linker's
+``preprocess_wikidata``/``preprocess_target`` normalization chain,
+linker/workflow.py:182-320).
+
+Single-pass design: the whole derivation (HTML title, field regexes, the
+normalize/tokenize chain, URL validation, date parsing) happens in one
+Arrow-batched Python stage, so the scan feeds exactly one Python boundary
+crossing. At 100 TB this stage is embarrassingly parallel: no shuffle, output
+written partitioned by a stable hash of ``url``.
+
+Output schema (SIGNATURE_SCHEMA):
+  url STRING, domain STRING, lang STRING,
+  name ARRAY<STRING>                      normalized (lowercase, folded)
+  name_ascii ARRAY<STRING>                folded, case kept (display form)
+  name_tokens ARRAY<STRING>               sorted set, name stop words removed
+  born / died ARRAY<STRUCT<ts:STRING, precision:INT>>   raw, Wikidata-style
+  born_p / died_p ARRAY<STRUCT<y,mo,d,h,mi,s,depth INT>> parsed (dates.py)
+  urls ARRAY<STRING>                      cleaned + validated outbound links
+  url_tokens ARRAY<STRING>                sorted set, TLD/prefix stop words out
+  description STRING                      free-text remainder
+  description_tokens ARRAY<STRING>
+  occupations ARRAY<STRING>, genres ARRAY<STRING>
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from soweego_spark.functions import dates, textnorm, urlnorm
+
+DATE_STRUCT = StructType(
+    [StructField("ts", StringType()), StructField("precision", IntegerType())]
+)
+DATE_PARTS_STRUCT = StructType(
+    [StructField(n, IntegerType()) for n in ["y", "mo", "d", "h", "mi", "s", "depth"]]
+)
+
+SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("domain", StringType()),
+        StructField("lang", StringType()),
+        StructField("name", ArrayType(StringType())),
+        StructField("name_ascii", ArrayType(StringType())),
+        StructField("name_tokens", ArrayType(StringType())),
+        StructField("born", ArrayType(DATE_STRUCT)),
+        StructField("died", ArrayType(DATE_STRUCT)),
+        StructField("born_p", ArrayType(DATE_PARTS_STRUCT)),
+        StructField("died_p", ArrayType(DATE_PARTS_STRUCT)),
+        StructField("urls", ArrayType(StringType())),
+        StructField("url_tokens", ArrayType(StringType())),
+        StructField("description", StringType()),
+        StructField("description_tokens", ArrayType(StringType())),
+        StructField("occupations", ArrayType(StringType())),
+        StructField("genres", ArrayType(StringType())),
+    ]
+)
+
+_H1_RE = re.compile(rb"<h1>(.*?)</h1>", re.DOTALL)
+_BORN_RE = re.compile(r"\bBorn (\d{4}(?:-\d{2}){0,2})\.")
+_DIED_RE = re.compile(r"\bDied (\d{4}(?:-\d{2}){0,2})\.")
+_OCC_RE = re.compile(r"Occupations: ([^.]*)\.")
+_GEN_RE = re.compile(r"Genres: ([^.]*)\.")
+_LINKS_RE = re.compile(r"Links: (.*)$")
+_BIO_RE = re.compile(r"\. ([A-Z][^.]*worldwide\.)")
+
+_PRECISION_BY_LEN = {4: 9, 7: 10, 10: 11}
+
+
+def _date_cell(date_str: str | None):
+    """One textual date -> ([(iso_ts, precision)], [parsed parts])."""
+    if not date_str:
+        return None, None
+    precision = _PRECISION_BY_LEN.get(len(date_str))
+    if precision is None:
+        return None, None
+    # Normalize to the Wikidata-style full timestamp the reference carries
+    # around (api_requests.py:445-538 emits e.g. 1939-03-03T00:00:00Z).
+    pad = {9: "-00-00", 10: "-00"}.get(precision, "")
+    ts = f"{date_str}{pad}T00:00:00Z"
+    parsed = dates.parse_date(ts, precision)
+    raw = [{"ts": ts, "precision": precision}]
+    if parsed is None:
+        return raw, None
+    keys = ["y", "mo", "d", "h", "mi", "s", "depth"]
+    return raw, [dict(zip(keys, parsed))]
+
+
+def _extract_one(url, html, text):
+    m = _H1_RE.search(html) if html is not None else None
+    display = m.group(1).decode("utf8", "replace").strip() if m else None
+    if display is None and text:
+        display = text.split(".", 1)[0].strip()
+
+    names_lower, names_ascii, name_toks = None, None, None
+    if display:
+        ascii_form, lower_form = textnorm.normalize(display)
+        names_lower, names_ascii = [lower_form], [ascii_form]
+        name_toks = textnorm.tokenize(display, textnorm.NAME_STOPWORDS) or None
+
+    born_m = _BORN_RE.search(text) if text else None
+    died_m = _DIED_RE.search(text) if text else None
+    born, born_p = _date_cell(born_m.group(1) if born_m else None)
+    died, died_p = _date_cell(died_m.group(1) if died_m else None)
+
+    occ_m = _OCC_RE.search(text) if text else None
+    occs = (
+        sorted({o.strip() for o in occ_m.group(1).split(",") if o.strip()})
+        if occ_m
+        else None
+    )
+    gen_m = _GEN_RE.search(text) if text else None
+    gens = (
+        sorted({g.strip() for g in gen_m.group(1).split(",") if g.strip()})
+        if gen_m
+        else None
+    )
+
+    links_m = _LINKS_RE.search(text) if text else None
+    urls_out, url_toks = None, None
+    if links_m:
+        validated = []
+        for cand in urlnorm.clean(links_m.group(1)):
+            ok = urlnorm.validate(cand)
+            if ok:
+                validated.append(ok)
+        urls_out = sorted(set(validated)) or None
+        if urls_out:
+            toks: set[str] = set()
+            for u in urls_out:
+                ut = urlnorm.tokenize_url(u)
+                if ut:
+                    toks.update(ut)
+            url_toks = sorted(toks) or None
+
+    bio_m = _BIO_RE.search(text) if text else None
+    description = bio_m.group(1) if bio_m else None
+    desc_toks = (
+        textnorm.tokenize(description) or None if description else None
+    )
+
+    return (
+        url,
+        urlnorm.domain_of(url),
+        names_lower,
+        names_ascii,
+        name_toks,
+        born,
+        died,
+        born_p,
+        died_p,
+        urls_out,
+        url_toks,
+        description,
+        desc_toks,
+        occs,
+        gens,
+    )
+
+
+def extract_signatures(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> signatures (SIGNATURE_SCHEMA)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _extract_one(u, h, t)
+                for u, h, t in zip(pdf["url"], pdf["html"], pdf["text"])
+            ]
+            cols = list(zip(*out)) if out else [[] for _ in range(15)]
+            yield pd.DataFrame(
+                {
+                    "url": cols[0],
+                    "domain": cols[1],
+                    "lang": pdf["lang"].values,
+                    "name": cols[2],
+                    "name_ascii": cols[3],
+                    "name_tokens": cols[4],
+                    "born": cols[5],
+                    "died": cols[6],
+                    "born_p": cols[7],
+                    "died_p": cols[8],
+                    "urls": cols[9],
+                    "url_tokens": cols[10],
+                    "description": cols[11],
+                    "description_tokens": cols[12],
+                    "occupations": cols[13],
+                    "genres": cols[14],
+                }
+            )
+
+    return pages.mapInPandas(_run, schema=SIGNATURE_SCHEMA)

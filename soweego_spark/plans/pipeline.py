@@ -1,0 +1,126 @@
+"""The end-to-end entity-resolution pipeline (SURVEY.md §3.1 Spark shape).
+
+pages -> extract -> block -> featurize -> train/score -> rules ->
+threshold+dedup -> connected components -> clusters.
+
+Each stage is optionally checkpointed via :class:`StageCheckpointer` —
+kill the job after any stage and a re-run with the same config resumes from
+parquet instead of recomputing (the reference's pickle-memo semantics,
+blocking.py:86-94, done with manifests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from soweego_spark.operators import blocking as blk
+from soweego_spark.operators import classify as clf
+from soweego_spark.operators import pairfeatures as pf
+from soweego_spark.operators.cluster import assign_clusters
+from soweego_spark.operators.extract import extract_signatures
+from soweego_spark.plans.checkpoint import StageCheckpointer
+
+
+@dataclass
+class PipelineConfig:
+    top_k: int = 5
+    token_df_cap: int = 1000
+    use_lsh: bool = True
+    use_url_key: bool = True
+    threshold: float = clf.CONFIDENCE_THRESHOLD
+    classifier: str = "logistic"  # logistic | naive_bayes | svm
+    name_rule: bool = True
+    url_rule: bool = True
+    occupation_closure: dict = field(default_factory=dict)
+
+    def as_dict(self) -> dict:
+        d = self.__dict__.copy()
+        d["occupation_closure"] = sorted(self.occupation_closure)
+        return d
+
+
+_TRAINERS = {
+    "logistic": clf.train_logistic,
+    "naive_bayes": clf.train_naive_bayes,
+    "svm": clf.train_linear_svm,
+}
+
+
+@dataclass
+class PipelineResult:
+    signatures: DataFrame
+    pairs: DataFrame
+    features: DataFrame
+    scored: DataFrame
+    matches: DataFrame
+    clusters: DataFrame
+    model: clf.LinearModel
+    metrics: dict
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    labeled_pairs: DataFrame,
+    config: PipelineConfig | None = None,
+    checkpointer: StageCheckpointer | None = None,
+) -> PipelineResult:
+    cfg = config or PipelineConfig()
+    base_cfg = cfg.as_dict()
+
+    def stage(name: str, thunk, extra: dict | None = None) -> DataFrame:
+        if checkpointer is None:
+            return thunk()
+        return checkpointer.stage(name, {**base_cfg, **(extra or {})}, thunk)
+
+    sig = stage("signatures", lambda: extract_signatures(pages))
+    sig.cache()
+
+    pairs = stage(
+        "pairs",
+        lambda: blk.block_candidates(
+            sig,
+            top_k=cfg.top_k,
+            token_df_cap=cfg.token_df_cap,
+            use_lsh=cfg.use_lsh,
+            use_url_key=cfg.use_url_key,
+        ),
+    )
+
+    pair_rows = pf.assemble_pairs(pairs, sig)
+    features = stage(
+        "features",
+        lambda: pf.compute_features(
+            pair_rows, occupation_closure=cfg.occupation_closure
+        ),
+    )
+    features.cache()
+
+    # Train on the driver over the labeled pairs' feature rows.
+    X, y = clf.collect_training_matrix(features, labeled_pairs)
+    model = _TRAINERS[cfg.classifier](X, y)
+
+    scored = clf.apply_rules(
+        clf.score(features, model),
+        pair_rows=pair_rows,
+        name_rule=cfg.name_rule,
+        url_rule=cfg.url_rule,
+    )
+    matches = stage(
+        "matches",
+        lambda: clf.threshold_and_dedup(scored, threshold=cfg.threshold),
+        extra={"model_w": [float(w) for w in model.weights], "model_b": model.bias},
+    )
+
+    clusters = stage(
+        "clusters",
+        lambda: assign_clusters(sig.select("url"), matches),
+        extra={"model_w": [float(w) for w in model.weights], "model_b": model.bias},
+    )
+
+    metrics = clf.confusion_and_f1(matches, labeled_pairs)
+    return PipelineResult(
+        sig, pairs, features, scored, matches, clusters, model, metrics
+    )
