@@ -1,0 +1,321 @@
+"""Near-duplicate detection operators: exact, MinHash-LSH, SimHash.
+
+The reference dedups only the candidate-pair index (``~index.duplicated()``,
+reference linker/link.py:222-223 and linker/workflow.py:423-425). At web
+scale (BASELINE.json north_star: MinHash-LSH bands over shingled text as a
+blocking key) we need sub-quadratic near-dup detection; these operators are
+the scale path and double as extra blocking keys for the ER pipeline
+(soweego_spark/operators/blocking.py).
+
+Everything here is pure DataFrame API — JVM-side hashing
+(``xxhash64``) and array built-ins, no Python UDFs — so whole-stage
+codegen applies end to end and the only shuffles are:
+
+* one ``groupBy(doc_id)`` to build signatures (map-side combine applies:
+  ``min``/``sum`` are partial-aggregatable);
+* one ``groupBy(band)`` / self-join per candidate generation, keyed on the
+  LSH bucket — the *bucket* is the blocking key, so the join fan-out is
+  bounded by bucket size, not corpus size;
+* hot buckets (a band value shared by a huge number of docs, the skew
+  case) are CAPPED via ``max_bucket_size``: a bucket larger than the cap
+  is dropped before the self-join, mirroring the reference's LIMIT-5
+  blocking cap (reference linker/blocking.py:138-142) and keeping the
+  worst-case pair count at ``buckets * cap^2`` regardless of skew.
+
+Determinism: all hashes are seeded ``xxhash64`` with literal salts; no
+randomness, so results are stable across runs/partitionings and the pytest
+oracles (tests/test_dedup.py) can replicate banding exactly from collected
+signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_PERM = 64
+DEFAULT_BANDS = 16
+
+
+def token_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) -> (doc_id, tokens) with sorted distinct lowercase tokens.
+
+    ``array_sort`` pins set-iteration order (SURVEY.md §7 hard parts) so any
+    downstream serialization is deterministic.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != F.lit(""),
+                )
+            )
+        ).alias("tokens"),
+    )
+
+
+def shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, text) -> (doc_id, tokens) of word n-gram shingles.
+
+    Shingled text is what the north_star asks MinHash to run over; built
+    from ``transform`` over a sequence of start offsets — no explode until
+    the caller needs one.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    docs = docs.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+    )
+    return docs.select(
+        "doc_id", F.array_sort(F.array_distinct(sh)).alias("tokens")
+    )
+
+
+def minhash_signatures(
+    toks: DataFrame, num_perm: int = DEFAULT_NUM_PERM
+) -> DataFrame:
+    """(doc_id, tokens) -> (doc_id, tokens, sig ARRAY<BIGINT>[num_perm]).
+
+    Permutation ``i`` is ``min(xxhash64(i || token))`` over the token set —
+    the salt is a literal prefix, so each permutation is an independent
+    deterministic hash family member. One explode + one hash-agg with
+    ``num_perm`` partial-min columns (map-side combine keeps the shuffle at
+    num_perm longs per doc, independent of document length).
+    """
+    exploded = toks.select("doc_id", F.explode("tokens").alias("token"))
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"p{i}:"), F.col("token")))).alias(
+            f"h{i}"
+        )
+        for i in range(num_perm)
+    ]
+    sig = exploded.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
+    )
+    return toks.join(sig, "doc_id")
+
+
+def minhash_lsh_candidates(
+    toks: DataFrame,
+    jaccard_threshold: float = 0.7,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """MinHash-LSH banding + exact-Jaccard confirmation.
+
+    Returns (doc_a, doc_b, jaccard) for pairs that (1) collide in at least
+    one of ``bands`` bands of ``num_perm / bands`` rows each and (2) have
+    exact token-set Jaccard >= threshold. Step (2) makes the output
+    deterministic precision-1.0: LSH only decides *which* pairs get the
+    exact check (the sub-quadratic part); it never admits a false positive.
+    """
+    assert num_perm % bands == 0, "num_perm must be divisible by bands"
+    rows_per_band = num_perm // bands
+
+    signed = minhash_signatures(toks, num_perm=num_perm)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            .cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signed.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    # Skew guard: drop buckets larger than the cap before the self-join.
+    bucket_counts = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    capped = banded.join(
+        bucket_counts.filter(F.col("bucket_n") <= max_bucket_size).select(
+            "band_id", "band_hash"
+        ),
+        ["band_id", "band_hash"],
+    )
+
+    left = capped.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
+    right = capped.select(
+        "band_id", "band_hash", F.col("doc_id").alias("doc_b")
+    )
+    cand = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_union("ta", "tb")).cast("double")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, text) -> (doc_id, simhash BIGINT).
+
+    Classic Charikar simhash over distinct lowercase tokens: per token one
+    64-bit ``xxhash64``; bit ``i`` of the signature is the sign of
+    ``sum(+/-1)`` of that bit across tokens. Expressed as ``bits`` partial
+    ``sum`` aggregates (map-side combinable) + a fold into one BIGINT —
+    all JVM-side.
+    """
+    toks = token_sets(docs, id_col=id_col, text_col=text_col)
+    exploded = toks.select(
+        "doc_id", F.explode("tokens").alias("token")
+    ).select("doc_id", F.xxhash64("token").alias("h"))
+    sums = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1).cast("long"))
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*sums)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bits: int = 64,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """All pairs with simhash Hamming distance <= max_hamming, found
+    sub-quadratically.
+
+    Pigeonhole blocking: split the signature into ``max_hamming + 1``
+    blocks; two signatures within Hamming ``d`` differ in at most ``d``
+    blocks, so at least one block matches exactly — block-equality
+    self-joins have perfect recall, then ``bit_count(xor) <= d`` confirms.
+    Same hot-bucket cap as MinHash-LSH for skew.
+    """
+    n_blocks = max_hamming + 1
+    sig = simhash_signatures(docs, id_col=id_col, text_col=text_col, bits=bits)
+
+    # Block i covers bit range [lo_i, lo_i + width_i); widths differ by at
+    # most 1 so all 64 bits are covered.
+    base, extra = divmod(bits, n_blocks)
+    blocks = []
+    lo = 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftrightunsigned("simhash", lo)
+                .bitwiseAND(F.lit(mask).cast("long"))
+                .alias("block_val"),
+            )
+        )
+        lo += width
+
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("blk")
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+
+    bucket_counts = banded.groupBy("block_id", "block_val").agg(
+        F.count("*").alias("bucket_n")
+    )
+    capped = banded.join(
+        bucket_counts.filter(F.col("bucket_n") <= max_bucket_size).select(
+            "block_id", "block_val"
+        ),
+        ["block_id", "block_val"],
+    )
+
+    left = capped.select(
+        "block_id", "block_val",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+    )
+    right = capped.select(
+        "block_id", "block_val",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+    )
+    return (
+        left.join(right, ["block_id", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy on a content fingerprint.
+
+    Grouping on ``xxhash64(text)`` instead of the full text keeps shuffle
+    rows small at 100 TB (8 bytes vs whole documents); collision
+    probability at 10^12 docs is handled by grouping on (hash, length).
+    """
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.xxhash64(F.col(text_col)).alias("content_hash"),
+        F.length(F.col(text_col)).alias("content_len"),
+    )
+    return keyed.groupBy("content_hash", "content_len").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )

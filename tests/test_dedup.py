@@ -1,0 +1,131 @@
+"""Dedup operator oracles.
+
+MinHash-LSH and SimHash are not ANSI-SQL-expressible, so the driver gives
+them a rows-only check; these tests carry the semantics. All hashing in
+the operators is deterministic (seeded xxhash64), so the oracles replicate
+the *decisions* exactly from collected signatures — no tolerance bands.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from soweego_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    shingles,
+    simhash_pairs,
+    simhash_signatures,
+    token_sets,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b) if (a or b) else 0.0
+
+
+def test_minhash_lsh_exact_oracle(spark, docs):
+    """Output == {pairs sharing >=1 band slice} ∩ {jaccard >= t}, replayed
+    in Python from collected signatures and token sets."""
+    t = 0.7
+    num_perm, bands = 64, 16
+    rows = num_perm // bands
+    toks = token_sets(docs)
+    sigs = {
+        r["doc_id"]: (tuple(r["sig"]), frozenset(r["tokens"]))
+        for r in minhash_signatures(toks, num_perm).collect()
+    }
+    expected = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        sig_a, tok_a = sigs[a]
+        sig_b, tok_b = sigs[b]
+        share_band = any(
+            sig_a[i * rows : (i + 1) * rows] == sig_b[i * rows : (i + 1) * rows]
+            for i in range(bands)
+        )
+        if share_band and round(_jaccard(set(tok_a), set(tok_b)), 6) >= t:
+            expected.add((a, b))
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(toks, jaccard_threshold=t).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_jaccard_values_match_pandas(spark, docs):
+    toks = token_sets(docs)
+    token_map = {r["doc_id"]: set(r["tokens"]) for r in toks.collect()}
+    for r in minhash_lsh_candidates(toks, jaccard_threshold=0.7).collect():
+        truth = round(_jaccard(token_map[r["doc_a"]], token_map[r["doc_b"]]), 6)
+        assert r["jaccard"] == truth
+        assert truth >= 0.7
+
+
+def test_simhash_pairs_exact_oracle(spark, docs):
+    """Pigeonhole blocking has perfect recall and the bit_count filter has
+    perfect precision -> output must EQUAL the brute-force Hamming filter."""
+    max_h = 8
+    sims = {
+        r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()
+    }
+    expected = {
+        (a, b): bin((sims[a] ^ sims[b]) & (2**64 - 1)).count("1")
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if bin((sims[a] ^ sims[b]) & (2**64 - 1)).count("1") <= max_h
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=max_h).collect()
+    }
+    assert got == expected
+
+
+def test_planted_near_duplicates_found(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")  # 1-token edit -> high jaccard
+    far = "completely different words about spark shuffle partitions and joins"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], ["doc_id", "text"]
+    )
+    toks = token_sets(df)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(toks, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+    sh_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(df, max_hamming=10).collect()
+    }
+    assert (1, 4) in sh_pairs  # identical docs: hamming 0
+    assert (3, 4) not in sh_pairs and (1, 3) not in sh_pairs
+
+
+def test_shingles_contents(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    [row] = shingles(df, n=3).collect()
+    assert sorted(row["tokens"]) == ["a b c", "b c d"]
+
+
+def test_exact_duplicates_counts(spark, docs):
+    got = exact_duplicates(docs)
+    n_groups = got.count()
+    n_docs = docs.count()
+    truth_groups = docs.select("text").distinct().count()
+    assert n_groups == truth_groups
+    total = got.agg(F.sum("n_copies")).first()[0]
+    assert total == n_docs
