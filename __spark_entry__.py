@@ -515,15 +515,17 @@ _Q_TOKEN_JACCARD_SQL = f"""
 
 
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate generation + exact-Jaccard confirmation.
+    """MinHash-LSH candidate generation + exact-Jaccard confirmation over
+    3-gram word shingles (the north_star's "MinHash-LSH bands over shingled
+    text"; shingling keeps LSH buckets small even on tiny vocabularies).
 
     Rows-only driver check (LSH banding is not ANSI-SQL-expressible);
-    the exact-Jaccard confirmation filter is verified in pytest against a
-    pandas oracle (tests/test_dedup.py)."""
-    from soweego_spark.operators.dedup import minhash_lsh_candidates, token_sets
+    the banding + confirmation semantics are verified in pytest against
+    exact decision-replay oracles (tests/test_dedup.py)."""
+    from soweego_spark.operators.dedup import minhash_lsh_candidates, shingles
 
     docs = _t(spark, sf_dir, "documents")
-    toks = token_sets(docs, id_col="doc_id", text_col="text")
+    toks = shingles(docs, id_col="doc_id", text_col="text", n=3)
     return minhash_lsh_candidates(toks, jaccard_threshold=0.7)
 
 
@@ -555,31 +557,14 @@ def _cosine_expr(a, b):
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors for the first 20 query vectors."""
+    """Brute-force cosine top-5 neighbors for the first 20 query vectors —
+    broadcast candidate matrix + one BLAS matmul per Arrow batch
+    (soweego_spark.operators.ann.brute_force_topk); tie order matches the
+    SQL window row_number() ORDER BY cosine DESC, neighbor_id ASC."""
+    from soweego_spark.operators.ann import brute_force_topk
+
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    cands = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
-    )
-    scored = (
-        queries.crossJoin(cands)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", "cosine", "rn")
-    )
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
 _Q_EMBEDDING_TOPK_SQL = """
@@ -612,20 +597,22 @@ _Q_EMBEDDING_TOPK_SQL = """
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-duplicates above 0.4 (threshold chosen so the
-    synthetic random embeddings actually produce matches)."""
+    synthetic random embeddings actually produce matches) — broadcast +
+    BLAS brute force (operators.ann.brute_force_neardup)."""
+    from soweego_spark.operators.ann import brute_force_neardup
+
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(_cosine_expr(F.col("va"), F.col("vb")), 4).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.4)
-    )
+    return brute_force_neardup(emb, threshold=0.4)
+
+
+def q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing + exact confirmation — the
+    sub-quadratic ANN path (rows-only check; precision verified against the
+    brute-force operator in tests/test_ann.py)."""
+    from soweego_spark.operators.ann import lsh_bucketed_neardup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_neardup(emb, threshold=0.4, n_planes=8)
 
 
 _Q_EMBEDDING_NEARDUP_SQL = """
@@ -840,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,

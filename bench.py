@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Runs (a) the flagship end-to-end ER pipeline (extract -> block -> featurize
+-> train -> score -> rules -> threshold -> connected components) on the
+deterministic synthetic pages table, and (b) the scale-meaningful operator
+queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR.
+
+Excluded from the timed set (not silently — by design):
+  * token_blocking_topk / token_jaccard_neardup — deliberately quadratic
+    demonstrations of the naive token self-join; at sf0.1 the 31-word
+    vocabulary makes them ~450M intermediate pairs. Their scale path IS
+    minhash_lsh_neardup / simhash_neardup, which are timed here.
+
+Plans are executed with a noop-format write so the full plan runs without
+driver-side collection. Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_ER_ENTITIES (default 2000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "2000"))
+
+BENCH_QUERIES = [
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "exact_dedup",
+    "embedding_topk",
+    "embedding_neardup",
+    "embedding_lsh_neardup",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "topk_per_key",
+    "threshold_dedup",
+    "set_validation",
+    "relationship_join",
+    "date_precision_match",
+    "windowed_events",
+    "group_collect",
+    "anti_join_dead_ids",
+    "union_dedup",
+    "confusion_matrix",
+    "domain_frequency",
+    "perfect_name_join",
+]
+
+
+def _run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from soweego_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from soweego_spark.session import get_spark
+    from soweego_spark.sources.pages import generate_pages, pages_to_spark
+
+    spark = get_spark(
+        cpus=CPUS, app_name="soweego-spark-bench", shuffle_partitions=2 * CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _run_noop(qs[name](spark, SF_DIR))
+        times[name] = time.time() - t0
+
+    # Flagship: full record-linkage pipeline over the synthetic pages table.
+    fx = generate_pages(n_entities=ER_ENTITIES, seed=42)
+    pages, _, labeled, _ = pages_to_spark(spark, fx)
+    closure = {
+        r.code: list(r.related)
+        for r in fx.occupation_closure.itertuples(index=False)
+    }
+    t0 = time.time()
+    res = run_pipeline(
+        spark, pages, labeled, PipelineConfig(occupation_closure=closure)
+    )
+    n_pairs = res.features.count()
+    _run_noop(res.clusters)
+    er_secs = time.time() - t0
+    times["er_pipeline"] = er_secs
+
+    total = sum(times.values())
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in times.items()},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "er_pairs_scored": n_pairs,
+                "er_pairs_scored_per_sec": round(n_pairs / er_secs, 1),
+                "er_f1": round(res.metrics["f1"], 4),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,13 +35,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
+    MapType,
     StringType,
     StructField,
     StructType,
 )
 
-from soweego_spark.functions import dates, textnorm, urlnorm
+from soweego_spark.functions import dates, simkernels, textnorm, urlnorm
 
 DATE_STRUCT = StructType(
     [StructField("ts", StringType()), StructField("precision", IntegerType())]
@@ -68,6 +70,14 @@ SIGNATURE_SCHEMA = StructType(
         StructField("description_tokens", ArrayType(StringType())),
         StructField("occupations", ArrayType(StringType())),
         StructField("genres", ArrayType(StringType())),
+        # Cosine-feature precomputation (C3): per-side bag-of-words count
+        # maps + L2 norms, built ONCE per document here so the per-pair
+        # cosine downstream is pure JVM map arithmetic (no Python in the
+        # pair loop — pairs outnumber documents ~30x).
+        StructField("name_bigrams", MapType(StringType(), IntegerType())),
+        StructField("name_bigram_norm", DoubleType()),
+        StructField("desc_terms", MapType(StringType(), IntegerType())),
+        StructField("desc_norm", DoubleType()),
     ]
 )
 
@@ -154,6 +164,22 @@ def _extract_one(url, html, text):
         textnorm.tokenize(description) or None if description else None
     )
 
+    # C3 precomputation: char_wb 2-gram counts of the joined name tokens and
+    # binary term counts of the description tokens (tokenize() returns a
+    # set, so counts are 0/1), with their L2 norms.
+    name_bg, name_bg_norm = None, None
+    if name_toks:
+        counts = simkernels._count(
+            simkernels._char_wb_bigrams(" ".join(name_toks))
+        )
+        if counts:
+            name_bg = counts
+            name_bg_norm = sum(n * n for n in counts.values()) ** 0.5
+    desc_terms, desc_norm = None, None
+    if desc_toks:
+        desc_terms = {t: 1 for t in desc_toks}
+        desc_norm = len(desc_toks) ** 0.5
+
     return (
         url,
         urlnorm.domain_of(url),
@@ -170,6 +196,10 @@ def _extract_one(url, html, text):
         desc_toks,
         occs,
         gens,
+        name_bg,
+        name_bg_norm,
+        desc_terms,
+        desc_norm,
     )
 
 
@@ -182,7 +212,7 @@ def extract_signatures(pages: DataFrame) -> DataFrame:
                 _extract_one(u, h, t)
                 for u, h, t in zip(pdf["url"], pdf["html"], pdf["text"])
             ]
-            cols = list(zip(*out)) if out else [[] for _ in range(15)]
+            cols = list(zip(*out)) if out else [[] for _ in range(19)]
             yield pd.DataFrame(
                 {
                     "url": cols[0],
@@ -201,6 +231,10 @@ def extract_signatures(pages: DataFrame) -> DataFrame:
                     "description_tokens": cols[12],
                     "occupations": cols[13],
                     "genres": cols[14],
+                    "name_bigrams": cols[15],
+                    "name_bigram_norm": cols[16],
+                    "desc_terms": cols[17],
+                    "desc_norm": cols[18],
                 }
             )
 

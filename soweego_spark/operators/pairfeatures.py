@@ -18,23 +18,29 @@ JVM-native (whole-stage codegen, no Python):
   url_tok_shared C7 SharedTokensPlus over URL tokens with the URL stop-word
                list (features.py:568-665, workflow.py:462-470)
 
-Arrow-batched pandas UDFs (Python kernels from functions.simkernels/dates):
-  name_lev     C2 max Levenshtein similarity             (features.py:221-251)
-  name_cos     C3 cosine over char_wb 2-grams            (workflow.py:485-494)
-  desc_cos     C3 cosine with the soweego analyzer       (workflow.py:387-398)
-  born_sim / died_sim  C4 SimilarDates                   (features.py:318-403)
+Also JVM-native (v2 — the pandas-UDF versions were 10x slower; the Python
+kernels in functions.simkernels/dates remain as the tested oracles,
+tests/test_features_jvm.py asserts expression == kernel on fixture pairs):
+  name_lev     C2 max Levenshtein similarity via the built-in ``levenshtein``
+               inside nested ``transform`` over the token cross product
+               (features.py:221-251)
+  name_cos     C3 cosine over char_wb 2-grams — per-side count maps + norms
+               precomputed once per document at extract time
+               (extract.py SIGNATURE_SCHEMA name_bigrams/name_bigram_norm);
+               per pair: ``map_zip_with`` dot product (workflow.py:485-494)
+  desc_cos     C3 cosine with the soweego analyzer, same map pattern
+               (workflow.py:387-398)
+  born_sim / died_sim  C4 SimilarDates as a nested-``transform`` prefix
+               comparison over the parsed date structs (features.py:318-403)
 
 Missing values fill with FEATURE_MISSING_VALUE = 0.0 (constants.py:359).
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
 
-from soweego_spark.functions import dates as date_kernels
 from soweego_spark.functions import simkernels
 from soweego_spark.functions.textnorm import URL_STOPWORDS
 
@@ -60,6 +66,7 @@ def assemble_pairs(pairs: DataFrame, sig: DataFrame) -> DataFrame:
     feature_cols = [
         "name", "name_tokens", "urls", "url_tokens", "born_p", "died_p",
         "description", "description_tokens", "occupations", "genres",
+        "name_bigrams", "name_bigram_norm", "desc_terms", "desc_norm",
     ]
     a = sig.select(
         F.col("url").alias("url_a"),
@@ -136,78 +143,77 @@ def _expand_with_closure(col, closure: dict[str, list[str]]):
     )
 
 
-def _struct_rows_to_tuples(cell):
-    if cell is None:
-        return None
-    out = []
-    for item in cell:
-        if item is None:
-            continue
-        if isinstance(item, dict):
-            out.append(
-                (item["y"], item["mo"], item["d"], item["h"], item["mi"],
-                 item["s"], item["depth"])
+def _lev_max_expr(a, b):
+    """C2: max over the token cross product of ``1 - lev/max(len)`` — the
+    built-in ``levenshtein`` inside nested transforms (whole-stage codegen;
+    oracle: simkernels.levenshtein_max)."""
+
+    def one(x, y):
+        longest = F.greatest(F.length(x), F.length(y))
+        return F.when(x.isNull() | y.isNull(), F.lit(0.0)).otherwise(
+            F.when(longest == 0, F.lit(1.0)).otherwise(
+                F.lit(1.0) - F.levenshtein(x, y) / longest
             )
-        else:
-            out.append(tuple(item))
-    return out or None
+        )
+
+    scores = F.flatten(F.transform(a, lambda x: F.transform(b, lambda y: one(x, y))))
+    return F.when(
+        a.isNull() | b.isNull() | (F.size(a) == 0) | (F.size(b) == 0),
+        F.lit(None).cast("double"),
+    ).otherwise(F.array_max(scores))
 
 
-@F.pandas_udf(DoubleType())
-def _lev_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            simkernels.levenshtein_max(
-                list(x) if x is not None else None,
-                list(y) if y is not None else None,
+def _cosine_map_expr(ma, na, mb, nb):
+    """C3: cosine between two precomputed bag-of-words count maps.
+
+    ``map_zip_with`` unions the key sets; missing counts coalesce to 0, so
+    the aggregate over values is exactly the sparse dot product. Norms were
+    taken at extract time (oracle: simkernels.cosine_bow)."""
+    dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                ma, mb,
+                lambda k, x, y: F.coalesce(x, F.lit(0)).cast("long")
+                * F.coalesce(y, F.lit(0)).cast("long"),
             )
-            for x, y in zip(a, b)
-        ],
-        dtype="float64",
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    return F.when(
+        ma.isNull() | mb.isNull() | na.isNull() | nb.isNull()
+        | (na == 0) | (nb == 0),
+        F.lit(None).cast("double"),
+    ).otherwise(dot / (na * nb))
+
+
+_DATE_ATTRS = ["y", "mo", "d", "h", "mi", "s"]
+
+
+def _date_pair_score_one(lv, rv):
+    """SimilarDates core for ONE (date, date) combination: count consecutive
+    equal attributes from year down to the shared precision depth, stop at
+    the first mismatch, divide by shared+1 (oracle: dates.date_pair_score)."""
+    shared = F.least(lv["depth"], rv["depth"])
+    matched = F.lit(0)
+    for i in reversed(range(len(_DATE_ATTRS))):
+        eq = lv[_DATE_ATTRS[i]] == rv[_DATE_ATTRS[i]]
+        matched = F.when(
+            (shared >= i) & eq, F.lit(1) + matched
+        ).otherwise(F.lit(0))
+    return matched.cast("double") / (shared + F.lit(1)).cast("double")
+
+
+def _date_sim_expr(a, b):
+    """C4: best cross-product score; null list elements contribute nothing
+    (array_max skips the nulls their comparison produces)."""
+    scores = F.flatten(
+        F.transform(a, lambda lv: F.transform(b, lambda rv: _date_pair_score_one(lv, rv)))
     )
-
-
-@F.pandas_udf(DoubleType())
-def _cos_charwb_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            simkernels.cosine_bow(
-                list(x) if x is not None else None,
-                list(y) if y is not None else None,
-                analyzer="char_wb",
-            )
-            for x, y in zip(a, b)
-        ],
-        dtype="float64",
-    )
-
-
-@F.pandas_udf(DoubleType())
-def _cos_soweego_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            simkernels.cosine_bow(
-                [x] if x is not None else None,
-                [y] if y is not None else None,
-                analyzer="soweego",
-            )
-            for x, y in zip(a, b)
-        ],
-        dtype="float64",
-    )
-
-
-@F.pandas_udf(DoubleType())
-def _date_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            date_kernels.date_pair_score(
-                _struct_rows_to_tuples(x), _struct_rows_to_tuples(y)
-            )
-            for x, y in zip(a, b)
-        ],
-        dtype="float64",
-    )
+    return F.when(
+        a.isNull() | b.isNull() | (F.size(a) == 0) | (F.size(b) == 0),
+        F.lit(None).cast("double"),
+    ).otherwise(F.coalesce(F.array_max(scores), F.lit(0.0)))
 
 
 def compute_features(
@@ -231,16 +237,24 @@ def compute_features(
         "url_a",
         "url_b",
         _exact_list_match(F.col("a_name"), F.col("b_name")).alias("name_exact"),
-        _lev_udf("a_name_tokens", "b_name_tokens").alias("name_lev"),
-        _cos_charwb_udf("a_name_tokens", "b_name_tokens").alias("name_cos"),
+        _lev_max_expr(F.col("a_name_tokens"), F.col("b_name_tokens")).alias(
+            "name_lev"
+        ),
+        _cosine_map_expr(
+            F.col("a_name_bigrams"), F.col("a_name_bigram_norm"),
+            F.col("b_name_bigrams"), F.col("b_name_bigram_norm"),
+        ).alias("name_cos"),
         _shared_tokens(
             F.col("a_name_tokens"), F.col("b_name_tokens"), band_words
         ).alias("name_shared"),
         _exact_list_match(F.col("a_urls"), F.col("b_urls")).alias("url_exact"),
         _shared_ratio_min(a_ut, b_ut).alias("url_tok_shared"),
-        _date_sim_udf("a_born_p", "b_born_p").alias("born_sim"),
-        _date_sim_udf("a_died_p", "b_died_p").alias("died_sim"),
-        _cos_soweego_udf("a_description", "b_description").alias("desc_cos"),
+        _date_sim_expr(F.col("a_born_p"), F.col("b_born_p")).alias("born_sim"),
+        _date_sim_expr(F.col("a_died_p"), F.col("b_died_p")).alias("died_sim"),
+        _cosine_map_expr(
+            F.col("a_desc_terms"), F.col("a_desc_norm"),
+            F.col("b_desc_terms"), F.col("b_desc_norm"),
+        ).alias("desc_cos"),
         _shared_ratio_min(a_occ, b_occ).alias("occ_shared"),
         _shared_tokens(F.col("a_genres"), F.col("b_genres"), []).alias(
             "genre_shared"

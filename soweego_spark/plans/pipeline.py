@@ -88,6 +88,9 @@ def run_pipeline(
             use_url_key=cfg.use_url_key,
         ),
     )
+    # pair_rows feeds BOTH featurize and the post-rule join; without a cache
+    # the whole blocking stage would recompute for apply_rules.
+    pairs.cache()
 
     pair_rows = pf.assemble_pairs(pairs, sig)
     features = stage(
@@ -113,6 +116,8 @@ def run_pipeline(
         lambda: clf.threshold_and_dedup(scored, threshold=cfg.threshold),
         extra={"model_w": [float(w) for w in model.weights], "model_b": model.bias},
     )
+    # matches is consumed by clustering AND the metrics joins.
+    matches.cache()
 
     clusters = stage(
         "clusters",

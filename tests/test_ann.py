@@ -1,0 +1,119 @@
+"""ANN operator oracles (operators/ann.py).
+
+The brute-force operators are exact-checked against DuckDB by the driver
+gate; here we pin (a) LSH candidate decisions replayed exactly in numpy
+from the seeded hyperplanes, and (b) LSH precision == 1.0 relative to the
+brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from soweego_spark.operators.ann import (
+    brute_force_neardup,
+    brute_force_topk,
+    lsh_bucketed_neardup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+THRESHOLD = 0.4
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def matrix(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _cosine_matrix(mat):
+    n = np.sqrt((mat * mat).sum(axis=1))
+    n[n == 0] = 1.0
+    return np.round((mat @ mat.T) / np.outer(n, n), 4)
+
+
+def test_brute_force_neardup_matches_numpy(emb, matrix):
+    ids, mat = matrix
+    sims = _cosine_matrix(mat)
+    expected = {
+        (int(ids[i]), int(ids[j])): sims[i, j]
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= THRESHOLD
+    }
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in brute_force_neardup(emb, threshold=THRESHOLD).collect()
+    }
+    assert got == expected
+
+
+def test_lsh_exact_decision_replay(emb, matrix):
+    """Operator output == {same-bucket pairs} ∩ {cosine >= t}, with the
+    bucketing replayed from the same seeded hyperplanes."""
+    ids, mat = matrix
+    n_planes, seed = 8, 61
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, mat.shape[1]))
+    bits = (mat @ planes.T) > 0
+    bucket = np.zeros(len(ids), dtype=np.int64)
+    for i in range(n_planes):
+        bucket |= bits[:, i].astype(np.int64) << i
+    sims = _cosine_matrix(mat)
+    expected = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if bucket[i] == bucket[j] and sims[i, j] >= THRESHOLD
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_bucketed_neardup(
+            emb, threshold=THRESHOLD, n_planes=n_planes, seed=seed
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_lsh_precision_vs_brute_force(emb):
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in brute_force_neardup(emb, threshold=THRESHOLD).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_bucketed_neardup(
+            emb, threshold=THRESHOLD, n_planes=8
+        ).collect()
+    }
+    assert lsh <= brute  # exact confirmation -> no false positives
+
+
+def test_topk_ranks_and_ties(emb, matrix):
+    ids, mat = matrix
+    sims = _cosine_matrix(mat)
+    got = brute_force_topk(emb, emb.filter("vec_id < 5"), k=3).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(
+            (r["rn"], r["neighbor_id"], r["cosine"])
+        )
+    for qid, rows in by_query.items():
+        qi = int(np.where(ids == qid)[0][0])
+        row = sims[qi].copy()
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -row[mask]))[:3]
+        expected = [
+            (rank, int(ids[mask][j]), row[mask][j])
+            for rank, j in enumerate(order, 1)
+        ]
+        assert sorted(rows) == expected

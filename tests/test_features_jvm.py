@@ -1,0 +1,86 @@
+"""JVM feature expressions vs the Python kernels (the tested oracles).
+
+compute_features is 100% JVM-side expressions; the Python kernels in
+functions.simkernels / functions.dates carry the reference parity
+(tests/test_parity_*). This closes the loop: expression == kernel on every
+candidate pair of the synthetic fixture, to float exactness.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from soweego_spark.functions import dates as date_kernels
+from soweego_spark.functions import simkernels
+from soweego_spark.operators import blocking as blk
+from soweego_spark.operators import pairfeatures as pf
+from soweego_spark.operators.extract import extract_signatures
+from soweego_spark.sources.pages import generate_pages, pages_to_spark
+
+
+@pytest.fixture(scope="module")
+def pair_rows_and_features(spark):
+    fx = generate_pages(n_entities=120, seed=7)
+    pages, *_ = pages_to_spark(spark, fx)
+    sig = extract_signatures(pages).cache()
+    pairs = blk.block_candidates(sig)
+    pair_rows = pf.assemble_pairs(pairs, sig).cache()
+    feats = pf.compute_features(pair_rows)
+    joined = pair_rows.join(feats, ["url_a", "url_b"]).collect()
+    assert len(joined) > 300
+    return joined
+
+
+def _close(a, b):
+    if a is None or b is None:
+        return (a or 0.0) == (b or 0.0)
+    return math.isclose(a, b, rel_tol=0, abs_tol=1e-12)
+
+
+def test_name_lev_matches_kernel(pair_rows_and_features):
+    for r in pair_rows_and_features:
+        truth = simkernels.levenshtein_max(r["a_name_tokens"], r["b_name_tokens"])
+        assert _close(r["name_lev"], truth), (
+            r["url_a"], r["url_b"], r["name_lev"], truth)
+
+
+def test_name_cos_matches_kernel(pair_rows_and_features):
+    for r in pair_rows_and_features:
+        truth = simkernels.cosine_bow(
+            r["a_name_tokens"], r["b_name_tokens"], analyzer="char_wb"
+        )
+        assert _close(r["name_cos"], truth), (
+            r["url_a"], r["url_b"], r["name_cos"], truth)
+
+
+def test_desc_cos_matches_kernel(pair_rows_and_features):
+    for r in pair_rows_and_features:
+        truth = simkernels.cosine_bow(
+            [r["a_description"]] if r["a_description"] is not None else None,
+            [r["b_description"]] if r["b_description"] is not None else None,
+            analyzer="soweego",
+        )
+        assert _close(r["desc_cos"], truth), (
+            r["url_a"], r["url_b"], r["desc_cos"], truth)
+
+
+def _rows_to_tuples(cell):
+    if cell is None:
+        return None
+    return [
+        (v["y"], v["mo"], v["d"], v["h"], v["mi"], v["s"], v["depth"])
+        for v in cell
+        if v is not None
+    ] or None
+
+
+def test_date_sim_matches_kernel(pair_rows_and_features):
+    for r in pair_rows_and_features:
+        for side in ("born", "died"):
+            truth = date_kernels.date_pair_score(
+                _rows_to_tuples(r[f"a_{side}_p"]), _rows_to_tuples(r[f"b_{side}_p"])
+            )
+            assert _close(r[f"{side}_sim"], truth), (
+                r["url_a"], r["url_b"], side, r[f"{side}_sim"], truth)
