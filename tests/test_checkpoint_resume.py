@@ -1,0 +1,88 @@
+"""Stage-checkpoint resumability (plans/checkpoint.py) — the reference's
+pickle-memo semantics (blocking.py:86-94) done with parquet + manifests:
+re-run with the same config skips the compute; changed config invalidates;
+manifests carry row counts + per-partition lineage."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from soweego_spark.plans import pipeline as pl
+from soweego_spark.plans.checkpoint import StageCheckpointer, config_hash
+from soweego_spark.sources.pages import generate_pages
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="soweego-ckpt-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stage_memoization_and_invalidation(spark, root):
+    ck = StageCheckpointer(root, spark)
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(10).withColumnRenamed("id", "x")
+
+    cfg = {"alpha": 1}
+    a = ck.stage("s1", cfg, compute)
+    assert calls["n"] == 1 and a.count() == 10
+    b = ck.stage("s1", cfg, compute)
+    assert calls["n"] == 1  # loaded from checkpoint, not recomputed
+    assert sorted(r["x"] for r in b.collect()) == list(range(10))
+
+    ck.stage("s1", {"alpha": 2}, compute)
+    assert calls["n"] == 2  # config change invalidates
+
+    mf = ck.manifest("s1")
+    assert mf["row_count"] == 10
+    assert sum(mf["partitions"].values()) == 10
+    assert mf["config_hash"] == config_hash({"alpha": 2})
+
+
+def test_pipeline_resume_skips_stages(spark, root, monkeypatch):
+    fx = generate_pages(120, seed=11)
+    pages = spark.createDataFrame(fx.pages)
+    labeled = spark.createDataFrame(fx.labeled_pairs)
+    cfg = pl.PipelineConfig(use_lsh=False)
+
+    calls = {"extract": 0, "block": 0}
+    real_extract = pl.extract_signatures
+    real_block = pl.blk.block_candidates
+
+    def count_extract(*a, **k):
+        calls["extract"] += 1
+        return real_extract(*a, **k)
+
+    def count_block(*a, **k):
+        calls["block"] += 1
+        return real_block(*a, **k)
+
+    monkeypatch.setattr(pl, "extract_signatures", count_extract)
+    monkeypatch.setattr(pl.blk, "block_candidates", count_block)
+
+    ck1 = StageCheckpointer(root, spark)
+    r1 = pl.run_pipeline(spark, pages, labeled, cfg, checkpointer=ck1)
+    out1 = sorted(map(tuple, r1.clusters.collect()))
+    assert calls == {"extract": 1, "block": 1}
+
+    # "Kill and re-run": new checkpointer over the same root — every stage
+    # thunk must be skipped and the output identical.
+    ck2 = StageCheckpointer(root, spark)
+    r2 = pl.run_pipeline(spark, pages, labeled, cfg, checkpointer=ck2)
+    out2 = sorted(map(tuple, r2.clusters.collect()))
+    assert calls == {"extract": 1, "block": 1}  # unchanged: resumed
+    assert out1 == out2
+
+    # Changed blocking config -> blocking recomputes, extract stage reloads.
+    cfg3 = pl.PipelineConfig(use_lsh=False, top_k=3)
+    ck3 = StageCheckpointer(root, spark)
+    pl.run_pipeline(spark, pages, labeled, cfg3, checkpointer=ck3)
+    assert calls["extract"] == 2  # config hash covers the whole pipeline cfg
+    assert calls["block"] == 2

@@ -1,0 +1,139 @@
+"""Structured Streaming plans: file source -> memory sink, incremental
+batches, watermark/state semantics. Uses processAllAvailable for
+determinism (no wall-clock triggers)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from soweego_spark.streaming.events import (
+    read_event_stream,
+    sessionize_events,
+    streaming_exact_dedup,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="soweego-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _start(df, name, mode="append"):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+
+
+def test_windowed_counts_match_batch(spark, tmpdir):
+    """Streaming windowed agg over a file source == the batch groupBy on
+    the same data (complete mode, single source directory)."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events.write.parquet(f"{tmpdir}/src")
+
+    stream = read_event_stream(spark, f"{tmpdir}/src")
+    name = f"wincounts_{uuid.uuid4().hex[:8]}"
+    q = _start(windowed_event_counts(stream), name, mode="complete")
+    try:
+        q.processAllAvailable()
+        got = spark.sql(f"SELECT * FROM {name}")
+        batch = (
+            events.groupBy(
+                F.window("ts", "1 hour").alias("win"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        got_set = {
+            (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+            for r in got.collect()
+        }
+        want_set = {tuple(r) for r in batch.collect()}
+        assert got_set == want_set and len(got_set) > 0
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_drops_repeats(spark, tmpdir):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    base = docs.select(
+        F.col("doc_id"), F.col("text"), F.lit("2024-01-01 00:00:00").cast(
+            "timestamp"
+        ).alias("ts"),
+    )
+    dup = base.withColumn("doc_id", F.col("doc_id") + 1000)  # same text
+    base.unionByName(dup).write.parquet(f"{tmpdir}/src")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(f"{tmpdir}/src")
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = _start(streaming_exact_dedup(stream), name)
+    try:
+        q.processAllAvailable()
+        got = spark.sql(f"SELECT * FROM {name}")
+        n_distinct_texts = docs.select("text").distinct().count()
+        assert got.count() == n_distinct_texts
+        assert got.select("content_hash").distinct().count() == n_distinct_texts
+    finally:
+        q.stop()
+
+
+def test_sessionize_emits_on_watermark(spark, tmpdir):
+    """Two micro-batches: sessions from batch 1 fire when batch 2 advances
+    the watermark past their gap timeout."""
+    rows1 = [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0, ""),
+        (2, "2024-01-01 10:05:00", 7, "click", 2.0, ""),
+        (3, "2024-01-01 10:02:00", 9, "view", 5.0, ""),
+    ]
+    rows2 = [(4, "2024-01-02 10:00:00", 11, "click", 1.0, "")]  # +1 day
+    schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+
+    def write_batch(rows, sub):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.coalesce(1).write.parquet(f"{tmpdir}/src/{sub}")
+
+    import os
+    os.makedirs(f"{tmpdir}/src", exist_ok=True)
+    write_batch(rows1, "b1=1")
+
+    stream = read_event_stream(spark, f"{tmpdir}/src/*", max_files_per_trigger=1)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = _start(sessionize_events(stream, watermark="10 minutes"), name)
+    try:
+        q.processAllAvailable()
+        write_batch(rows2, "b2=1")
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got[7] == (2, 3.0)
+        assert got[9] == (1, 5.0)
+        assert 11 not in got  # its session hasn't timed out yet
+    finally:
+        q.stop()
