@@ -23,8 +23,9 @@ Operator coverage map (SURVEY.md §2 -> query):
   dedup exact dedup (hash groupBy)                    -> exact_dedup
   dedup MinHash LSH near-dup (rows-only check)        -> minhash_lsh_neardup
   dedup SimHash near-dup (rows-only check)            -> simhash_neardup
-  ANN   brute-force cosine top-k                      -> embedding_topk
-  ANN   cosine near-dup pairs                         -> embedding_neardup
+  ANN   brute-force cosine top-k (BLAS broadcast)     -> embedding_topk
+  ANN   cosine near-dup pairs (BLAS broadcast)        -> embedding_neardup
+  ANN   hyperplane-LSH near-dup (rows-only check)     -> embedding_lsh_neardup
   text  language-ID heuristic                         -> lang_id
   text  quality scoring                               -> quality_score
   text  token counting                                -> token_count
@@ -34,6 +35,13 @@ Operator coverage map (SURVEY.md §2 -> query):
 The full record-linkage pipeline (blocking + features + classifier + CC
 clustering over the synthetic pages table) is exercised by the pytest suite
 (tests/test_pipeline_e2e.py); ``entry`` runs its document-dedup flagship.
+Components with no SQL-oracle shape are pytest-verified instead:
+Structured Streaming plans (soweego_spark/streaming/events.py,
+tests/test_streaming.py), multimodal binary-column operators
+(operators/multimodal.py, tests/test_multimodal.py), validator/enricher set
+algebra (operators/validator.py, tests/test_validator.py), checkpoint
+resume (plans/checkpoint.py, tests/test_checkpoint_resume.py), sources
+(sources/readers.py, tests/test_sources.py).
 """
 
 from __future__ import annotations

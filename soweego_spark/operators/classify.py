@@ -219,12 +219,18 @@ def confusion_and_f1(predicted: DataFrame, labeled: DataFrame) -> dict:
     F1 is computed over the labeled pairs only (the BASELINE.json contract:
     labeled pairs share a blocking key, so blocking misses don't penalize).
     """
-    pred = predicted.select("url_a", "url_b").distinct()
-    pos = labeled.filter(F.col("label") == 1).select("url_a", "url_b")
-    neg = labeled.filter(F.col("label") == 0).select("url_a", "url_b")
-    tp = pos.join(pred, ["url_a", "url_b"], "left_semi").count()
-    fn = pos.join(pred, ["url_a", "url_b"], "left_anti").count()
-    fp = neg.join(pred, ["url_a", "url_b"], "left_semi").count()
+    pred = predicted.select("url_a", "url_b").distinct().withColumn(
+        "hit", F.lit(1)
+    )
+    joined = labeled.select("url_a", "url_b", "label").join(
+        pred, ["url_a", "url_b"], "left"
+    )
+    row = joined.agg(
+        F.sum(((F.col("label") == 1) & F.col("hit").isNotNull()).cast("long")).alias("tp"),
+        F.sum(((F.col("label") == 1) & F.col("hit").isNull()).cast("long")).alias("fn"),
+        F.sum(((F.col("label") == 0) & F.col("hit").isNotNull()).cast("long")).alias("fp"),
+    ).first()
+    tp, fn, fp = int(row["tp"]), int(row["fn"]), int(row["fp"])
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = (

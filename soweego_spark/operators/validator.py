@@ -1,0 +1,113 @@
+"""Validator + enricher (SURVEY.md §2.8 SO1/SO2, §2.7 J5-J7).
+
+Reference: the ``sync`` subcommand's set-algebra checks between the
+Wikidata-side and catalog-side records (validator/checks.py:717-817) and
+the works->people relationship enrichment (validator/enrichment.py:140-195).
+Python dicts-of-sets become id-keyed DataFrames + array built-ins; the
+5000-id bucket loops become plain hash joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def validate_links(wd: DataFrame, target: DataFrame) -> DataFrame:
+    """SO1 (checks.py:812-817): per shared id, partition the two URL sets.
+
+    Inputs: ``wd(tid, urls ARRAY<STRING>)``, ``target(tid, urls)``.
+    Output: tid, shared, wd_only, extra (target-only), deprecate BOOLEAN —
+    deprecate when the intersection is empty (the reference marks the
+    identifier statement deprecated, checks.py:778-787).
+    """
+    empty = F.array().cast("array<string>")
+    w = wd.select("tid", F.coalesce("urls", empty).alias("wd_urls"))
+    t = target.select("tid", F.coalesce("urls", empty).alias("t_urls"))
+    j = w.join(t, "tid", "inner")
+    shared = F.array_sort(F.array_intersect("wd_urls", "t_urls"))
+    return j.select(
+        "tid",
+        shared.alias("shared"),
+        F.array_sort(F.array_except("wd_urls", "t_urls")).alias("wd_only"),
+        F.array_sort(F.array_except("t_urls", "wd_urls")).alias("extra"),
+        (F.size(shared) == 0).alias("deprecate"),
+    )
+
+
+def dead_ids(wd_ids: DataFrame, catalog: DataFrame, id_col: str = "tid") -> DataFrame:
+    """J6 (checks.py:453-478): wd-held identifiers missing from the catalog."""
+    return wd_ids.select(id_col).distinct().join(
+        catalog.select(id_col).distinct(), id_col, "left_anti"
+    )
+
+
+def match_bio_dates(wd_dates: DataFrame, target_dates: DataFrame) -> DataFrame:
+    """SO2 (checks.py:818-937): greedy first-match-wins pairing of date
+    statements on shared precision.
+
+    Inputs: ``wd_dates(tid, wd_idx, y, mo, d, depth)`` and
+    ``target_dates(tid, t_idx, y, mo, d, depth)`` — one row per date value.
+    A wd date matches a target date when all attributes down to
+    ``min(depth)`` agree (F7). Greedy semantics: each target date is
+    consumed by at most one wd date, in (wd_idx, t_idx) order — emulated
+    with two ranked windows instead of the reference's used-index set.
+    """
+    j = wd_dates.join(target_dates, "tid")
+    shared = F.least(wd_dates["depth"], target_dates["depth"])
+    agree = (
+        (wd_dates["y"] == target_dates["y"])
+        & ((shared < 1) | (wd_dates["mo"] == target_dates["mo"]))
+        & ((shared < 2) | (wd_dates["d"] == target_dates["d"]))
+    )
+    matches = j.filter(agree).select(
+        "tid", "wd_idx", "t_idx", shared.alias("shared_depth")
+    )
+    # first-match-wins: rank candidate targets per wd date, then make sure
+    # no target date is claimed twice (keep the lowest wd_idx claimant).
+    w1 = Window.partitionBy("tid", "wd_idx").orderBy("t_idx")
+    w2 = Window.partitionBy("tid", "t_idx").orderBy("wd_idx")
+    return (
+        matches.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") == 1)
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") == 1)
+        .select("tid", "wd_idx", "t_idx", "shared_depth")
+    )
+
+
+def enrich_relationships(
+    relationships: DataFrame, works: DataFrame, people: DataFrame
+) -> DataFrame:
+    """J5 (enrichment.py:140-195): works x people via the edge table —
+    the reference's 5000-id bucket product is just two hash joins."""
+    return (
+        relationships.join(
+            works.select(F.col("tid").alias("from_catalog_id")).distinct(),
+            "from_catalog_id",
+        )
+        .join(
+            people.select(F.col("tid").alias("to_catalog_id")).distinct(),
+            "to_catalog_id",
+        )
+        .select("from_catalog_id", "to_catalog_id")
+        .distinct()
+    )
+
+
+def url_blacklist_filter(
+    statements: DataFrame,
+    blacklist: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """P7 (checks.py:687-703): drop statements whose URL domain hits the
+    blacklist — the O(n*m) substring loop becomes a broadcast anti join on
+    the parsed domain."""
+    spark = statements.sparkSession
+    bl = spark.createDataFrame([(d,) for d in blacklist], "domain string")
+    with_domain = statements.withColumn(
+        "domain",
+        F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://(?:www\.)?([^/:]+)", 1)),
+    )
+    return with_domain.join(
+        F.broadcast(bl), "domain", "left_anti"
+    ).drop("domain")

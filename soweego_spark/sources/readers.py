@@ -1,0 +1,107 @@
+"""Source/sink helpers (SURVEY.md §2.1).
+
+Every reference dump reader collapses to a ``spark.read`` with the right
+options; gzip is transparent to Spark's text-based sources.
+
+  S1  gzipped TSV with ``\\N`` nulls (IMDb name/title basics;
+      imdb_dump_extractor.py:261-328, null-norm 54-68)  -> read_tsv
+  S3  tar'd pipe-separated dumps (MusicBrainz mbdump;
+      musicbrainz_dump_extractor.py:458-530)            -> read_psv
+  S6  gzipped JSON Lines, chunked pandas reader
+      (linker/workflow.py:123)                          -> read_jsonl
+  S10 gzipped JSONL sink (workflow.py:104-113)          -> write_jsonl
+  S11 chunk-appended CSV predictions sink ``qid,tid,score``
+      (linker/link.py:86-89)                            -> write_links_csv
+  S12 pickle-cache resumability                         -> plans/checkpoint.py
+
+The reference's 1000-row chunking disappears: partitions ARE the chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    null_value: str = "\\N",
+    header: bool = True,
+) -> DataFrame:
+    """S1: (gzipped) tab-separated scan with IMDb-style ``\\N`` -> NULL."""
+    reader = (
+        spark.read.option("sep", "\t")
+        .option("nullValue", null_value)
+        .option("header", str(header).lower())
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_psv(
+    spark: SparkSession, path: str, schema: StructType | str, header: bool = False
+) -> DataFrame:
+    """S3: pipe-separated dump scan with an explicit schema (the
+    MusicBrainz mbdump files carry no header row)."""
+    return (
+        spark.read.option("sep", "|")
+        .option("header", str(header).lower())
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """S6: (gzipped) JSON Lines scan — one object per line, exactly the
+    shape the reference's Wikidata fetcher emits (api_requests.py:272-281)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compress: bool = True) -> None:
+    """S10: JSONL sink; gzip codec mirrors the reference's gz output."""
+    writer = df.write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.json(path)
+
+
+def write_links_csv(
+    links: DataFrame,
+    path: str,
+    qid_col: str = "url_a",
+    tid_col: str = "url_b",
+    score_col: str = "score",
+    compress: bool = True,
+) -> None:
+    """S11: the predictions sink — ``qid,tid,score`` rows, no header
+    (linker/link.py:86-89 appends headerless chunks; partition files play
+    the chunk role)."""
+    out = links.select(
+        F.col(qid_col).alias("qid"),
+        F.col(tid_col).alias("tid"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    writer = out.write.mode("overwrite").option("header", "false")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.csv(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], buckets: int | None = None
+) -> None:
+    """S9 analogue: columnar sink partitioned for downstream pruning —
+    at 100 TB the signatures table is written partitioned by e.g.
+    crawl date / lang so blocking scans prune."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,81 @@
+"""Source/sink round trips (sources/readers.py) incl. the reference's
+null-token and gz semantics."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from soweego_spark.sources.readers import (
+    read_jsonl,
+    read_psv,
+    read_tsv,
+    write_jsonl,
+    write_links_csv,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="soweego-src-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tsv_gz_with_null_tokens(spark, tmpdir):
+    p = f"{tmpdir}/name.basics.tsv.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("nconst\tprimaryName\tbirthYear\tdeathYear\n")
+        fh.write("nm0000001\tFred Astaire\t1899\t1987\n")
+        fh.write("nm0000002\tLauren Bacall\t1924\t\\N\n")
+    df = read_tsv(
+        spark, p,
+        schema="nconst string, primaryName string, birthYear int, deathYear int",
+    )
+    rows = {r["nconst"]: r for r in df.collect()}
+    assert rows["nm0000001"]["deathYear"] == 1987
+    assert rows["nm0000002"]["deathYear"] is None  # \N -> NULL
+    assert rows["nm0000002"]["primaryName"] == "Lauren Bacall"
+
+
+def test_psv_with_schema(spark, tmpdir):
+    p = f"{tmpdir}/artist"
+    with open(p, "w") as fh:
+        fh.write("1|ac1|Miles Davis|Davis, Miles\n")
+        fh.write("2|ac2|Bill Evans|Evans, Bill\n")
+    df = read_psv(spark, p, "id long, gid string, name string, sort_name string")
+    assert df.count() == 2
+    assert df.filter("id = 1").first()["name"] == "Miles Davis"
+
+
+def test_jsonl_gz_roundtrip(spark, tmpdir):
+    src = spark.createDataFrame(
+        [("Q1", ["alice smith"], 1980), ("Q2", ["bob jones"], None)],
+        "qid string, name array<string>, born int",
+    )
+    write_jsonl(src, f"{tmpdir}/out")
+    files = glob.glob(f"{tmpdir}/out/part-*.json.gz")
+    assert files, "expected gzipped jsonl parts"
+    back = read_jsonl(spark, f"{tmpdir}/out", "qid string, name array<string>, born int")
+    got = {
+        (r["qid"], tuple(r["name"]), r["born"]) for r in back.collect()
+    }
+    assert got == {("Q1", ("alice smith",), 1980), ("Q2", ("bob jones",), None)}
+
+
+def test_links_csv_sink_format(spark, tmpdir):
+    links = spark.createDataFrame(
+        [("u1", "u2", 0.91), ("u3", "u4", 0.72)],
+        "url_a string, url_b string, score double",
+    )
+    write_links_csv(links, f"{tmpdir}/links", compress=False)
+    lines = []
+    for f in glob.glob(f"{tmpdir}/links/part-*.csv"):
+        lines += [ln.strip() for ln in open(f) if ln.strip()]
+    assert sorted(lines) == ["u1,u2,0.91", "u3,u4,0.72"]

@@ -1,0 +1,101 @@
+"""Validator/enricher semantics vs hand-computed oracles (reference:
+validator/checks.py set algebra, enrichment.py joins)."""
+
+from __future__ import annotations
+
+import pytest
+
+from soweego_spark.operators.validator import (
+    dead_ids,
+    enrich_relationships,
+    match_bio_dates,
+    url_blacklist_filter,
+    validate_links,
+)
+
+
+def test_validate_links_set_algebra(spark):
+    wd = spark.createDataFrame(
+        [
+            ("t1", ["http://a", "http://b"]),
+            ("t2", ["http://x"]),
+            ("t3", None),
+        ],
+        "tid string, urls array<string>",
+    )
+    target = spark.createDataFrame(
+        [
+            ("t1", ["http://b", "http://c"]),
+            ("t2", ["http://y"]),
+            ("t3", ["http://z"]),
+            ("t9", ["http://only-target"]),  # no wd side -> not validated
+        ],
+        "tid string, urls array<string>",
+    )
+    got = {r["tid"]: r for r in validate_links(wd, target).collect()}
+    assert set(got) == {"t1", "t2", "t3"}
+    assert got["t1"]["shared"] == ["http://b"]
+    assert got["t1"]["wd_only"] == ["http://a"]
+    assert got["t1"]["extra"] == ["http://c"]
+    assert got["t1"]["deprecate"] is False
+    assert got["t2"]["deprecate"] is True  # disjoint sets
+    assert got["t3"]["deprecate"] is True  # wd side empty
+    assert got["t3"]["extra"] == ["http://z"]
+
+
+def test_dead_ids_anti_join(spark):
+    wd = spark.createDataFrame([("a",), ("b",), ("c",)], "tid string")
+    catalog = spark.createDataFrame([("a",), ("c",), ("d",)], "tid string")
+    assert {r["tid"] for r in dead_ids(wd, catalog).collect()} == {"b"}
+
+
+def test_match_bio_dates_greedy_first_wins(spark):
+    # wd has two day-precision dates; target has one year-precision value
+    # that matches both years -> only the FIRST wd date consumes it.
+    wd = spark.createDataFrame(
+        [("t1", 0, 1950, 3, 7, 2), ("t1", 1, 1950, 5, 9, 2)],
+        "tid string, wd_idx int, y int, mo int, d int, depth int",
+    )
+    target = spark.createDataFrame(
+        [("t1", 0, 1950, 1, 1, 0)],
+        "tid string, t_idx int, y int, mo int, d int, depth int",
+    )
+    got = [tuple(r) for r in match_bio_dates(wd, target).collect()]
+    assert got == [("t1", 0, 0, 0)]  # shared depth 0 = year only
+
+
+def test_match_bio_dates_precision_refusal(spark):
+    # month mismatch at shared month precision -> no match
+    wd = spark.createDataFrame(
+        [("t1", 0, 1950, 3, 1, 1)],
+        "tid string, wd_idx int, y int, mo int, d int, depth int",
+    )
+    target = spark.createDataFrame(
+        [("t1", 0, 1950, 4, 1, 1)],
+        "tid string, t_idx int, y int, mo int, d int, depth int",
+    )
+    assert match_bio_dates(wd, target).count() == 0
+
+
+def test_enrich_relationships(spark):
+    rel = spark.createDataFrame(
+        [("w1", "p1"), ("w1", "p9"), ("w2", "p2"), ("w9", "p1")],
+        "from_catalog_id string, to_catalog_id string",
+    )
+    works = spark.createDataFrame([("w1",), ("w2",)], "tid string")
+    people = spark.createDataFrame([("p1",), ("p2",)], "tid string")
+    got = {tuple(r) for r in enrich_relationships(rel, works, people).collect()}
+    assert got == {("w1", "p1"), ("w2", "p2")}
+
+
+def test_url_blacklist_filter(spark):
+    stmts = spark.createDataFrame(
+        [
+            ("t1", "https://spam.example/x"),
+            ("t2", "https://www.good.example/y"),
+            ("t3", "http://good.example/z"),
+        ],
+        "tid string, url string",
+    )
+    got = {r["tid"] for r in url_blacklist_filter(stmts, ["spam.example"]).collect()}
+    assert got == {"t2", "t3"}
