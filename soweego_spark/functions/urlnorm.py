@@ -104,3 +104,46 @@ def is_wiki_link(url: str) -> bool:
 def extract_qid(url: str) -> str | None:
     match = QID_RE.search(url)
     return match.group() if match else None
+
+
+def extract_external_id(
+    url: str, ext_id_pids_to_urls: dict
+) -> tuple[str | None, str | None]:
+    """F5 (reference url_utils.py:214-328): match a URL against per-PID
+    external-identifier formatter templates; return ``(ext_id, pid)``.
+
+    ``ext_id_pids_to_urls``: {pid: {formatter_url: (id_regex, url_regex)}}
+    where ``$1`` in the formatter marks the id slot and the regexes may be
+    None, strings, or compiled patterns. Reference quirks preserved exactly:
+    HTTPS tidy-up + trailing-slash strip, full-URL regex tried first (first
+    group wins), and the early ``(None, None)`` give-up when a candidate
+    fragment fails its ID regex (url_utils.py:296-307 returns instead of
+    continuing the loop).
+    """
+    tidy = url.rstrip("/")
+    if not tidy.startswith("https"):
+        tidy = tidy.replace("http", "https", 1)
+
+    for pid, formatters in ext_id_pids_to_urls.items():
+        for formatter_url, (id_regex, url_regex) in formatters.items():
+            if url_regex is not None:
+                match = re.match(url_regex, url)
+                if match is not None:
+                    return match.groups()[0], pid
+
+            before, _, after = formatter_url.partition("$1")
+            after = after.rstrip("/")
+            if tidy.startswith(before) and tidy.endswith(after):
+                url_fragment = (
+                    tidy[len(before) : -len(after)]
+                    if len(after)
+                    else tidy[len(before) :]
+                )
+                if id_regex is None:
+                    return url_fragment, pid
+                match = re.match(id_regex, url_fragment)
+                if match is None:
+                    return None, None
+                return match.group(), pid
+
+    return None, None

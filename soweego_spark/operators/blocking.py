@@ -191,3 +191,50 @@ def block_candidates(
     if use_lsh:
         pairs = pairs.unionByName(lsh_blocking(sig))
     return pairs.distinct()
+
+
+def subset_token_pairs(
+    wd: DataFrame,
+    target: DataFrame,
+    id_left: str = "url_a",
+    id_right: str = "url_b",
+    token_col: str = "name_tokens",
+    token_df_cap: int = 10_000,
+) -> DataFrame:
+    """B2/J4 (baseline.py:332-354 + data_gathering.py:78): pairs where the
+    TARGET token set is a subset of the WD token set.
+
+    The reference fires boolean-mode FULLTEXT queries (``+tok1 +tok2``
+    requires every target token present) then re-checks ``target ⊆ wd`` in
+    pandas; the theta join converts to equi-join + aggregate: join on
+    token, count matched tokens per pair, keep pairs where the count equals
+    the target's token-set size. Token sets of size <= 1 are excluded on
+    both sides (baseline.py:344-347). Hot tokens are capped like
+    token_blocking (skew guard; correctness-neutral for linking).
+    """
+    l_tok = (
+        wd.filter(F.size(token_col) > 1)
+        .select(F.col("url").alias(id_left), F.explode(token_col).alias("token"))
+    )
+    r = target.filter(F.size(token_col) > 1).select(
+        F.col("url").alias(id_right),
+        F.col(token_col).alias("_r_tokens"),
+        F.size(token_col).alias("_r_size"),
+    )
+    r_tok = r.select(
+        id_right, "_r_size", F.explode("_r_tokens").alias("token")
+    )
+
+    df_counts = l_tok.groupBy("token").agg(F.count("*").alias("df"))
+    keep = df_counts.filter(F.col("df") <= token_df_cap).select("token")
+    l_tok = l_tok.join(F.broadcast(keep), "token")
+
+    matched = (
+        l_tok.join(r_tok, "token")
+        .filter(F.col(id_left) != F.col(id_right))
+        .groupBy(id_left, id_right, "_r_size")
+        .agg(F.count(F.col("token")).alias("n_matched"))
+    )
+    return matched.filter(F.col("n_matched") == F.col("_r_size")).select(
+        id_left, id_right
+    )

@@ -28,9 +28,11 @@ Threshold + dedup (P4/P5): filter >= 0.5, dropDuplicates on the pair key.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -239,3 +241,146 @@ def confusion_and_f1(predicted: DataFrame, labeled: DataFrame) -> dict:
         else 0.0
     )
     return dict(tp=tp, fp=fp, fn=fn, precision=precision, recall=recall, f1=f1)
+
+
+# ----------------------------------------------------------------- M5: RF
+#
+# Reference: 500-tree entropy random forest (classifiers.py:256-294,
+# constants.py:376-381). Pure-numpy CART so the container needs no sklearn;
+# trees are deterministic (seeded bootstrap + feature subsets). A forest is
+# NOT linear, so scoring uses the broadcast-model pandas-UDF pattern
+# (SCALAR_ITER) instead of column arithmetic — the other half of the
+# BASELINE.json "broadcast-distributed trained classifier" story.
+
+
+@dataclass
+class _Tree:
+    feature: np.ndarray   # node -> split feature (-1 for leaf)
+    threshold: np.ndarray
+    left: np.ndarray
+    right: np.ndarray
+    value: np.ndarray     # node -> P(class 1) at leaf
+
+
+def _entropy(p: float) -> float:
+    if p <= 0.0 or p >= 1.0:
+        return 0.0
+    return -(p * np.log2(p) + (1 - p) * np.log2(1 - p))
+
+
+def _build_tree(
+    X: np.ndarray, y: np.ndarray, rng: np.random.RandomState,
+    max_depth: int, min_leaf: int, n_candidate_feats: int,
+) -> _Tree:
+    feature, threshold, left, right, value = [], [], [], [], []
+
+    def new_node():
+        feature.append(-1); threshold.append(0.0)
+        left.append(-1); right.append(-1); value.append(0.0)
+        return len(feature) - 1
+
+    def grow(idx: np.ndarray, depth: int) -> int:
+        node = new_node()
+        ysub = y[idx]
+        p = float(ysub.mean()) if len(ysub) else 0.0
+        value[node] = p
+        if depth >= max_depth or len(idx) < 2 * min_leaf or p in (0.0, 1.0):
+            return node
+        parent_h = _entropy(p)
+        feats = rng.choice(X.shape[1], size=n_candidate_feats, replace=False)
+        best = (0.0, None, None)  # gain, feat, thresh
+        for f in feats:
+            col = X[idx, f]
+            qs = np.unique(np.quantile(col, np.linspace(0.1, 0.9, 9)))
+            for t in qs:
+                m = col <= t
+                nl = int(m.sum())
+                if nl < min_leaf or len(idx) - nl < min_leaf:
+                    continue
+                pl, pr = float(ysub[m].mean()), float(ysub[~m].mean())
+                w = nl / len(idx)
+                gain = parent_h - (w * _entropy(pl) + (1 - w) * _entropy(pr))
+                if gain > best[0] + 1e-12:
+                    best = (gain, int(f), float(t))
+        if best[1] is None:
+            return node
+        _, f, t = best
+        m = X[idx, f] <= t
+        feature[node], threshold[node] = f, t
+        left[node] = grow(idx[m], depth + 1)
+        right[node] = grow(idx[~m], depth + 1)
+        return node
+
+    grow(np.arange(len(y)), 0)
+    return _Tree(
+        np.array(feature), np.array(threshold),
+        np.array(left), np.array(right), np.array(value),
+    )
+
+
+def _tree_predict(tree: _Tree, X: np.ndarray) -> np.ndarray:
+    node = np.zeros(len(X), dtype=np.int64)
+    active = tree.feature[node] >= 0
+    while active.any():
+        f = tree.feature[node[active]]
+        t = tree.threshold[node[active]]
+        go_left = X[active, f] <= t
+        nxt = np.where(go_left, tree.left[node[active]], tree.right[node[active]])
+        node[active] = nxt
+        active = tree.feature[node] >= 0
+    return tree.value[node]
+
+
+@dataclass
+class ForestModel:
+    features: list[str]
+    trees: list
+    kind: str = "rf"
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        return np.mean([_tree_predict(t, X) for t in self.trees], axis=0)
+
+
+def train_random_forest(
+    X: np.ndarray,
+    y: np.ndarray,
+    features: list[str] = FEATURE_COLUMNS,
+    n_trees: int = 100,
+    max_depth: int = 10,
+    min_leaf: int = 2,
+    seed: int = 610,
+) -> ForestModel:
+    """M5 with the reference's entropy criterion and pinned seed
+    (commons/utils.py:59); 100 trees by default (500 in the reference —
+    quality plateaus far earlier on 11 features)."""
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    n_feats = max(1, int(np.sqrt(X.shape[1])))
+    trees = []
+    for _ in range(n_trees):
+        boot = rng.randint(0, len(y), size=len(y))
+        trees.append(
+            _build_tree(X[boot], y[boot], rng, max_depth, min_leaf, n_feats)
+        )
+    return ForestModel(list(features), trees)
+
+
+def score_broadcast(features: DataFrame, model) -> DataFrame:
+    """Score with a broadcast (non-linear) model in a SCALAR_ITER pandas
+    UDF — one deserialization per executor python worker, Arrow batches
+    through BLAS-backed numpy predict."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = features.sparkSession
+    bm = spark.sparkContext.broadcast(model)
+    cols = model.features
+
+    @pandas_udf("double")
+    def _score(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        m = bm.value
+        for batch in it:
+            X = batch[list(cols)].to_numpy(dtype=np.float64)
+            yield pd.Series(m.predict_proba(X))
+
+    return features.withColumn("score", _score(F.struct(*cols)))

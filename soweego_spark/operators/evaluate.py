@@ -79,3 +79,70 @@ def kfold_scores(
         f1_std=float(np.std(per_fold)),
         per_fold=per_fold,
     )
+
+
+def collect_labeled_matrix(features: DataFrame, labeled: DataFrame, k: int = 5):
+    """One bounded collect shared by kfold/grid search."""
+    rows = (
+        with_fold(labeled, k)
+        .join(features, ["url_a", "url_b"])
+        .select(*FEATURE_COLUMNS, "label", "fold")
+        .collect()
+    )
+    X = np.array([[r[c] for c in FEATURE_COLUMNS] for r in rows])
+    y = np.array([r["label"] for r in rows], dtype=np.float64)
+    folds = np.array([r["fold"] for r in rows])
+    return X, y, folds
+
+
+def grid_search(
+    features: DataFrame,
+    labeled: DataFrame,
+    param_grid: dict[str, list],
+    trainer=clf.train_logistic,
+    k: int = 5,
+    threshold: float = clf.CONFIDENCE_THRESHOLD,
+) -> dict:
+    """M11 (train.py:232-253 GridSearchCV analogue): exhaustive grid over
+    trainer kwargs, scored by k-fold F1; deterministic tie-break = first
+    combination in sorted-key iteration order (the reference pins seeds 610
+    and 1269 for the same reason). One collect, numpy folds on the driver.
+    """
+    import itertools
+
+    X, y, folds = collect_labeled_matrix(features, labeled, k)
+    keys = sorted(param_grid)
+    best = None
+    results = []
+    for combo in itertools.product(*[param_grid[kk] for kk in keys]):
+        params = dict(zip(keys, combo))
+
+        tp = fp = fn = 0
+        for f in range(k):
+            test = folds == f
+            model = trainer(X[~test], y[~test], **params)
+            if hasattr(model, "predict_proba"):
+                pred = model.predict_proba(X[test])
+            else:
+                z = X[test] @ model.weights + model.bias
+                if model.binarize is not None:
+                    z = (
+                        (X[test] > model.binarize).astype(float) @ model.weights
+                        + model.bias
+                    )
+                pred = (
+                    (z > 0).astype(float)
+                    if model.kind == "svm"
+                    else 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+                )
+            hit = pred >= threshold
+            tp += int(((y[test] == 1) & hit).sum())
+            fp += int(((y[test] == 0) & hit).sum())
+            fn += int(((y[test] == 1) & ~hit).sum())
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        results.append({"params": params, "f1": f1})
+        if best is None or f1 > best["f1"] + 1e-12:
+            best = {"params": params, "f1": f1}
+    return {"best": best, "results": results}

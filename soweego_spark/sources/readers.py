@@ -105,3 +105,19 @@ def write_partitioned_parquet(
     at 100 TB the signatures table is written partitioned by e.g.
     crawl date / lang so blocking scans prune."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """S2: streaming XML scan (Discogs ``<artist>``/``<master>`` nodes,
+    discogs_dump_extractor.py:516-530) via Spark 4's built-in XML source —
+    the reference's constant-memory ``lxml.iterparse`` becomes the
+    source's own streaming row-tag splitter, parallel across file splits."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -1,0 +1,91 @@
+"""Classifier surface: RF (M5) quality + determinism, broadcast scoring
+pattern, grid search (M11), subset-token blocking (B2/J4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from soweego_spark.operators import blocking as blk
+from soweego_spark.operators import classify as clf
+from soweego_spark.operators import evaluate as ev
+from soweego_spark.operators import pairfeatures as pf
+from soweego_spark.operators.extract import extract_signatures
+from soweego_spark.sources.pages import generate_pages, pages_to_spark
+
+
+@pytest.fixture(scope="module")
+def fixture_frames(spark):
+    fx = generate_pages(200, seed=5)
+    pages, _, labeled, _ = pages_to_spark(spark, fx)
+    sig = extract_signatures(pages).cache()
+    pairs = blk.block_candidates(sig)
+    features = pf.compute_features(pf.assemble_pairs(pairs, sig)).cache()
+    return sig, features, labeled
+
+
+def test_random_forest_quality_and_determinism(spark, fixture_frames):
+    _, features, labeled = fixture_frames
+    X, y = clf.collect_training_matrix(features, labeled)
+    m1 = clf.train_random_forest(X, y, n_trees=30, seed=610)
+    m2 = clf.train_random_forest(X, y, n_trees=30, seed=610)
+    p1, p2 = m1.predict_proba(X), m2.predict_proba(X)
+    np.testing.assert_array_equal(p1, p2)  # pinned seed -> identical forest
+    pred = (p1 >= 0.5).astype(float)
+    tp = ((y == 1) & (pred == 1)).sum()
+    fp = ((y == 0) & (pred == 1)).sum()
+    fn = ((y == 1) & (pred == 0)).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.97, f1
+
+
+def test_broadcast_scoring_matches_driver_predict(spark, fixture_frames):
+    _, features, labeled = fixture_frames
+    X, y = clf.collect_training_matrix(features, labeled)
+    model = clf.train_random_forest(X, y, n_trees=20, seed=610)
+    scored = clf.score_broadcast(features, model)
+    rows = scored.select(*clf.FEATURE_COLUMNS, "score").collect()
+    Xs = np.array([[r[c] for c in clf.FEATURE_COLUMNS] for r in rows])
+    expected = model.predict_proba(Xs)
+    got = np.array([r["score"] for r in rows])
+    np.testing.assert_allclose(got, expected, atol=1e-12)
+
+
+def test_grid_search_picks_best(spark, fixture_frames):
+    _, features, labeled = fixture_frames
+    out = ev.grid_search(
+        features,
+        labeled,
+        {"l2": [0.1, 1.0, 10.0]},
+        trainer=clf.train_logistic,
+        k=3,
+    )
+    assert len(out["results"]) == 3
+    assert out["best"]["f1"] == max(r["f1"] for r in out["results"])
+    assert out["best"]["f1"] >= 0.97
+
+
+def test_subset_token_pairs_semantics(spark):
+    wd = spark.createDataFrame(
+        [
+            ("w1", ["alice", "smith", "composer"]),
+            ("w2", ["bob", "jones"]),
+            ("w3", ["solo"]),  # size 1: excluded
+        ],
+        "url string, name_tokens array<string>",
+    )
+    target = spark.createDataFrame(
+        [
+            ("t1", ["alice", "smith"]),        # ⊆ w1
+            ("t2", ["smith", "composer"]),     # ⊆ w1
+            ("t3", ["alice", "zulu"]),         # zulu not in w1 -> no
+            ("t4", ["bob", "jones"]),          # ⊆ w2 (equal sets)
+            ("t5", ["solo"]),                  # size 1: excluded
+        ],
+        "url string, name_tokens array<string>",
+    )
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in blk.subset_token_pairs(wd, target).collect()
+    }
+    assert got == {("w1", "t1"), ("w1", "t2"), ("w2", "t4")}

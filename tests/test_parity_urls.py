@@ -62,3 +62,35 @@ def test_is_wiki_link_matches_reference(url):
 def test_qid_extraction():
     assert urlnorm.extract_qid("https://www.wikidata.org/wiki/Q1339") == "Q1339"
     assert urlnorm.extract_qid("https://example.com/no-qid") is None
+
+
+FORMATTERS = {
+    "P1953": {  # Discogs artist ID
+        "https://www.discogs.com/artist/$1": (
+            __import__("re").compile(r"\d+"),
+            __import__("re").compile(r"https?://(?:www\.)?discogs\.com/artist/(\d+)"),
+        )
+    },
+    "P345": {  # IMDb ID, no URL regex
+        "https://www.imdb.com/name/$1": (__import__("re").compile(r"nm\d+"), None)
+    },
+    "P434": {  # MusicBrainz artist, no id regex at all
+        "https://musicbrainz.org/artist/$1": (None, None)
+    },
+}
+
+EXT_ID_URLS = [
+    "https://www.discogs.com/artist/12345-Some-Name",
+    "http://www.discogs.com/artist/99",
+    "https://www.imdb.com/name/nm0000123/",
+    "https://www.imdb.com/name/badid/",
+    "https://musicbrainz.org/artist/b10bbbfc-cf9e-42e0-be17-e2c3e1d2600d/",
+    "https://unrelated.example/x/1",
+    "http://musicbrainz.org/artist/abc",
+]
+
+
+@pytest.mark.parametrize("url", EXT_ID_URLS)
+def test_extract_external_id_parity(url):
+    assert urlnorm.extract_external_id(url, FORMATTERS) == \
+        ref_url.get_external_id_from_url(url, FORMATTERS)

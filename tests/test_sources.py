@@ -79,3 +79,20 @@ def test_links_csv_sink_format(spark, tmpdir):
     for f in glob.glob(f"{tmpdir}/links/part-*.csv"):
         lines += [ln.strip() for ln in open(f) if ln.strip()]
     assert sorted(lines) == ["u1,u2,0.91", "u3,u4,0.72"]
+
+
+def test_xml_row_tag_scan(spark, tmpdir):
+    with open(f"{tmpdir}/artists.xml", "w") as fh:
+        fh.write(
+            "<artists>"
+            "<artist><id>1</id><name>Miles Davis</name></artist>"
+            "<artist><id>2</id><name>Bill Evans</name></artist>"
+            "</artists>"
+        )
+    from soweego_spark.sources.readers import read_xml
+
+    df = read_xml(spark, f"{tmpdir}/artists.xml", "artist")
+    assert {(r["id"], r["name"]) for r in df.collect()} == {
+        (1, "Miles Davis"),
+        (2, "Bill Evans"),
+    }
