@@ -792,6 +792,51 @@ _Q_WINDOWED_EVENTS_SQL = """
 """
 
 
+
+
+def q_subset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2/J4: token-set containment as equi-join + aggregate — ordered
+    pairs (doc_a, doc_b) where doc_a's distinct token set (size > 1) is
+    contained in doc_b's (operators.blocking.subset_token_pairs shape)."""
+    tok = _doc_tokens(_t(spark, sf_dir, "documents"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    left = tok.join(sizes, "doc_id").filter(F.col("n_tok") > 1).select(
+        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("a_size"), "token"
+    )
+    right = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    return (
+        left.join(right, "token")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "a_size")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") == F.col("a_size"))
+        .select("doc_a", "doc_b")
+    )
+
+
+_Q_SUBSET_CONTAINMENT_SQL = f"""
+    WITH tok AS ({_DOC_TOKENS_SQL.strip()}),
+    tok2 AS (SELECT * FROM tok WHERE token <> ''),
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM tok2 a
+    JOIN sizes sa ON sa.doc_id = a.doc_id AND sa.n_tok > 1
+    JOIN tok2 b ON a.token = b.token AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id, b.doc_id, sa.n_tok
+    HAVING count(*) = sa.n_tok
+"""
+
+
+def q_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) fingerprint near-dup candidates — rows-only
+    driver check; the fingerprint selection is replayed exactly in pytest
+    (tests/test_dedup.py::test_winnowing_fingerprints_replay)."""
+    from soweego_spark.operators.dedup import fingerprint_neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_neardup(docs, k=5, window=4, min_shared=2)
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -831,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_precision_match": q_date_precision_match,
         "exact_dedup": q_exact_dedup,
         "token_jaccard_neardup": q_token_jaccard_neardup,
+        "subset_containment": q_subset_containment,
+        "winnowing_neardup": q_winnowing_neardup,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash_neardup": q_simhash_neardup,
         "embedding_topk": q_embedding_topk,
@@ -860,6 +907,9 @@ def oracle_sql() -> dict[str, str]:
         "date_precision_match": _Q_DATE_PRECISION_SQL,
         "exact_dedup": _Q_EXACT_DEDUP_SQL,
         "token_jaccard_neardup": _Q_TOKEN_JACCARD_SQL,
+        "subset_containment": _Q_SUBSET_CONTAINMENT_SQL,
+        # winnowing_neardup: xxhash64 fingerprints not replicable in
+        # DuckDB -> rows-only; pytest replay oracle covers the semantics.
         # minhash_lsh_neardup / simhash_neardup: LSH banding and bitwise
         # simhash are not ANSI-SQL-expressible -> rows-only check; their
         # semantics are pytest-verified against pandas oracles.

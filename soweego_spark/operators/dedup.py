@@ -319,3 +319,80 @@ def exact_duplicates(
         F.min("doc_id").alias("rep_doc_id"),
         F.count("*").alias("n_copies"),
     )
+
+
+def kgram_hashes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """(id, text) -> (doc_id, hashes ARRAY<BIGINT>): 64-bit hash per word
+    k-gram, in document order (the rolling-hash sequence of Karp-Rabin /
+    MOSS; xxhash64 of the joined gram replaces the modular rolling update —
+    same fingerprint semantics, one JVM expression, no per-row Python)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i + 1, k))),
+    )
+    return base.select("doc_id", grams.alias("hashes"))
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the standard rolling-hash fingerprint for near-dup/plagiarism at
+    scale): min hash of every ``window`` consecutive k-gram hashes, deduped.
+
+    Output: (doc_id, fingerprint BIGINT) — one row per selected
+    fingerprint; docs sharing fingerprints are near-dup candidates
+    (join on fingerprint = the blocking key). Guarantees: any shared
+    substring of length >= window + k - 1 words produces at least one
+    shared fingerprint.
+    """
+    hashed = kgram_hashes(docs, id_col=id_col, text_col=text_col, k=k)
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("hashes") - window, F.lit(0))),
+        lambda j: F.array_min(F.slice("hashes", j + 1, window)),
+    )
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
+def fingerprint_neardup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """Near-dup candidates via shared winnowing fingerprints: explode ->
+    self-join on fingerprint (df-capped for skew) -> pairs with at least
+    ``min_shared`` shared fingerprints."""
+    fp = winnowing_fingerprints(
+        docs, id_col=id_col, text_col=text_col, k=k, window=window
+    )
+    counts = fp.groupBy("fingerprint").agg(F.count("*").alias("df"))
+    keep = counts.filter(F.col("df") <= max_df).select("fingerprint")
+    fp = fp.join(F.broadcast(keep), "fingerprint")
+    left = fp.select("fingerprint", F.col("doc_id").alias("doc_a"))
+    right = fp.select("fingerprint", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -15,24 +15,28 @@
 from __future__ import annotations
 
 from functools import lru_cache
-from pathlib import Path
+from importlib import resources as _ilr
 
-_HERE = Path(__file__).parent
+
+def _read(name: str) -> str:
+    # importlib.resources works from plain directories AND from zip
+    # archives (spark-submit --py-files ships the package as a zip).
+    return (
+        _ilr.files(__package__).joinpath(name).read_text(encoding="utf8")
+    )
 
 
 @lru_cache(maxsize=None)
 def wordlist(name: str) -> frozenset[str]:
     """Load a one-word-per-line resource file as a frozenset."""
-    return frozenset(
-        (_HERE / f"{name}.txt").read_text(encoding="utf8").splitlines()
-    )
+    return frozenset(_read(f"{name}.txt").splitlines())
 
 
 @lru_cache(maxsize=None)
 def ascii_fold_table() -> dict[int, str]:
     """The char->replacement transliteration table for str.translate."""
     table: dict[int, str] = {}
-    for line in (_HERE / "ascii_fold.tsv").read_text(encoding="utf8").splitlines():
+    for line in _read("ascii_fold.tsv").splitlines():
         src, _, repl = line.partition("\t")
         if src:
             table[ord(src)] = repl

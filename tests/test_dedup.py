@@ -129,3 +129,48 @@ def test_exact_duplicates_counts(spark, docs):
     assert n_groups == truth_groups
     total = got.agg(F.sum("n_copies")).first()[0]
     assert total == n_docs
+
+
+def test_winnowing_fingerprints_replay(spark, docs):
+    """Winnowing decisions replayed in Python from the Spark k-gram hash
+    sequences — exact set equality."""
+    from soweego_spark.operators.dedup import (
+        kgram_hashes,
+        winnowing_fingerprints,
+    )
+
+    k, w = 5, 4
+    seqs = {
+        r["doc_id"]: list(r["hashes"])
+        for r in kgram_hashes(docs, k=k).collect()
+    }
+    expected = set()
+    for did, hs in seqs.items():
+        n_win = max(len(hs) - w, 0) + 1
+        for j in range(n_win):
+            expected.add((did, min(hs[j : j + w])))
+    got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in winnowing_fingerprints(docs, k=k, window=w).collect()
+    }
+    assert got == expected
+
+
+def test_fingerprint_neardup_finds_planted_overlap(spark):
+    from soweego_spark.operators.dedup import fingerprint_neardup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail words here"),
+            (2, "prefix words other " + shared),
+            (3, "completely different text with no overlap at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in fingerprint_neardup(df, min_shared=1).collect()
+    }
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
