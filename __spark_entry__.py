@@ -26,6 +26,7 @@ Operator coverage map (SURVEY.md §2 -> query):
   ANN   brute-force cosine top-k (BLAS broadcast)     -> embedding_topk
   ANN   cosine near-dup pairs (BLAS broadcast)        -> embedding_neardup
   ANN   hyperplane-LSH near-dup (rows-only check)     -> embedding_lsh_neardup
+  ANN   IVF probe top-k (rows-only check)             -> embedding_ivf_topk
   text  language-ID heuristic                         -> lang_id
   text  quality scoring                               -> quality_score
   text  token counting                                -> token_count
@@ -613,6 +614,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_neardup(emb, threshold=0.4)
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means cells + probe search) — rows-only
+    check; the full-probe==brute-force invariant and partial-probe recall
+    are pytest-verified (tests/test_ann.py)."""
+    from soweego_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=16, n_probe=4
+    )
+
+
 def q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing + exact confirmation — the
     sub-quadratic ANN path (rows-only check; precision verified against the
@@ -883,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "embedding_neardup",
     "embedding_lsh_neardup",
+    "embedding_ivf_topk",
     "lang_id",
     "quality_score",
     "token_count",

@@ -63,9 +63,13 @@ FEATURE_COLUMNS = [
 
 def assemble_pairs(pairs: DataFrame, sig: DataFrame) -> DataFrame:
     """(url_a, url_b) -> wide pair rows with a_* / b_* signature columns."""
+    # Only what compute_features reads: raw description/description_tokens
+    # stay OUT of the pair shuffle (desc_cos consumes the precomputed
+    # desc_terms maps) — at 10^12 docs the description text would dominate
+    # shuffle volume for zero benefit.
     feature_cols = [
         "name", "name_tokens", "urls", "url_tokens", "born_p", "died_p",
-        "description", "description_tokens", "occupations", "genres",
+        "occupations", "genres",
         "name_bigrams", "name_bigram_norm", "desc_terms", "desc_norm",
     ]
     a = sig.select(

@@ -58,6 +58,8 @@ class PipelineResult:
     clusters: DataFrame
     model: clf.LinearModel
     metrics: dict
+    lineage: dict = field(default_factory=dict)  # stage -> manifest (counts
+    # per partition + config hash), populated when a checkpointer is used
 
 
 def run_pipeline(
@@ -126,6 +128,13 @@ def run_pipeline(
     )
 
     metrics = clf.confusion_and_f1(matches, labeled_pairs)
+    lineage = {}
+    if checkpointer is not None:
+        for name in ("signatures", "pairs", "features", "matches", "clusters"):
+            mf = checkpointer.manifest(name)
+            if mf:
+                lineage[name] = mf
     return PipelineResult(
-        sig, pairs, features, scored, matches, clusters, model, metrics
+        sig, pairs, features, scored, matches, clusters, model, metrics,
+        lineage,
     )

@@ -117,3 +117,37 @@ def test_topk_ranks_and_ties(emb, matrix):
             for rank, j in enumerate(order, 1)
         ]
         assert sorted(rows) == expected
+
+
+def test_ivf_full_probe_equals_brute_force(emb):
+    from soweego_spark.operators.ann import ivf_topk
+
+    brute = {
+        (r["query_id"], r["rn"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(emb, emb.filter("vec_id < 10"), k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rn"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk(
+            emb, emb.filter("vec_id < 10"), k=3,
+            n_centroids=8, n_probe=8,  # probe everything -> exact
+        ).collect()
+    }
+    assert ivf == brute
+
+
+def test_ivf_partial_probe_recall(emb):
+    from soweego_spark.operators.ann import ivf_topk
+
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, emb.filter("vec_id < 30"), k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, emb.filter("vec_id < 30"), k=5, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.5, recall  # half the cells probed on random vectors

@@ -86,3 +86,19 @@ def test_pipeline_resume_skips_stages(spark, root, monkeypatch):
     pl.run_pipeline(spark, pages, labeled, cfg3, checkpointer=ck3)
     assert calls["extract"] == 2  # config hash covers the whole pipeline cfg
     assert calls["block"] == 2
+
+
+def test_lineage_manifests_exposed(spark, root):
+    fx = generate_pages(80, seed=13)
+    pages = spark.createDataFrame(fx.pages)
+    labeled = spark.createDataFrame(fx.labeled_pairs)
+    ck = StageCheckpointer(root, spark)
+    res = pl.run_pipeline(
+        spark, pages, labeled, pl.PipelineConfig(use_lsh=False), checkpointer=ck
+    )
+    assert set(res.lineage) == {
+        "signatures", "pairs", "features", "matches", "clusters"
+    }
+    assert res.lineage["signatures"]["row_count"] == res.signatures.count()
+    for mf in res.lineage.values():
+        assert sum(mf["partitions"].values()) == mf["row_count"]

@@ -55,11 +55,18 @@ def test_name_cos_matches_kernel(pair_rows_and_features):
             r["url_a"], r["url_b"], r["name_cos"], truth)
 
 
-def test_desc_cos_matches_kernel(pair_rows_and_features):
+def test_desc_cos_matches_kernel(pair_rows_and_features, spark):
+    # description is deliberately NOT shipped through the pair join (only
+    # the precomputed count maps are); fetch it separately for the oracle.
+    fx = generate_pages(n_entities=120, seed=7)
+    pages, *_ = pages_to_spark(spark, fx)
+    sig = extract_signatures(pages)
+    desc = {r["url"]: r["description"] for r in sig.select("url", "description").collect()}
     for r in pair_rows_and_features:
+        da, db = desc.get(r["url_a"]), desc.get(r["url_b"])
         truth = simkernels.cosine_bow(
-            [r["a_description"]] if r["a_description"] is not None else None,
-            [r["b_description"]] if r["b_description"] is not None else None,
+            [da] if da is not None else None,
+            [db] if db is not None else None,
             analyzer="soweego",
         )
         assert _close(r["desc_cos"], truth), (
