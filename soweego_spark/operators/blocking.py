@@ -108,14 +108,24 @@ def shingles(col, n: int = 3):
 
 
 def minhash_signature(shingle_col, num_hashes: int = 12):
-    """ARRAY<BIGINT> of per-seed minima over shingle hashes, fully JVM-side."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+    """ARRAY<BIGINT> of per-salt minima over shingle hashes, fully JVM-side.
+
+    One nested-lambda expression (outer over the hash index, inner over the
+    shingles) — building ``num_hashes`` sibling ``transform`` columns
+    mis-binds same-named lambda variables in pyspark 4.1 and silently
+    produced wrong (though stable) signatures; regression-tested in
+    tests/test_dedup.py::test_blocking_minhash_signature_truth.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.xxhash64(
+                    F.concat(F.lit("m"), i.cast("string"), F.lit(":"), s)
+                ),
             )
-            for i in range(num_hashes)
-        ]
+        ),
     )
 
 

@@ -88,11 +88,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, tokens) -> (doc_id, tokens, sig ARRAY<BIGINT>[num_perm]).
 
-    Permutation ``i`` is ``min(xxhash64(i || token))`` over the token set —
-    the salt is a literal prefix, so each permutation is an independent
+    Permutation ``i`` is ``min(xxhash64("p<i>:" || token))`` over the token
+    set — the salt prefix makes each permutation an independent
     deterministic hash family member. One explode + one hash-agg with
-    ``num_perm`` partial-min columns (map-side combine keeps the shuffle at
-    num_perm longs per doc, independent of document length).
+    ``num_perm`` partial-min columns: the 64 xxhash64 projections stay in
+    whole-stage codegen and map-side combine keeps the shuffle at num_perm
+    longs per doc.
+
+    NOT written as sibling ``transform`` columns in one projection —
+    pyspark 4.1 mis-binds same-named lambda variables across sibling HOF
+    expressions (wrong + unstable values; regression:
+    tests/test_dedup.py::test_minhash_signature_truth). Plain column
+    expressions over an exploded index have no lambdas to collide and
+    benchmark ~5x faster than the interpreted nested-lambda alternative.
     """
     exploded = toks.select("doc_id", F.explode("tokens").alias("token"))
     mins = [
@@ -198,8 +206,10 @@ def simhash_signatures(
     Classic Charikar simhash over distinct lowercase tokens: per token one
     64-bit ``xxhash64``; bit ``i`` of the signature is the sign of
     ``sum(+/-1)`` of that bit across tokens. Expressed as ``bits`` partial
-    ``sum`` aggregates (map-side combinable) + a fold into one BIGINT —
-    all JVM-side.
+    ``sum`` aggregates over the exploded token hashes (no lambdas -> no
+    pyspark sibling-lambda mis-binding, and the column math stays in
+    whole-stage codegen; ground truth pinned by
+    tests/test_dedup.py::test_simhash_signature_truth).
     """
     toks = token_sets(docs, id_col=id_col, text_col=text_col)
     exploded = toks.select(

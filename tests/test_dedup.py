@@ -174,3 +174,66 @@ def test_fingerprint_neardup_finds_planted_overlap(spark):
     }
     assert (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_minhash_signature_truth(spark, docs):
+    """Regression for the pyspark sibling-lambda mis-binding bug: each
+    permutation's min must equal the min of per-token hashes computed in a
+    separate single-expression DataFrame, and repeat runs must be equal."""
+    from pyspark.sql import functions as F
+
+    toks = token_sets(docs).filter("doc_id < 5").cache()
+    sigs1 = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(toks, 8).collect()}
+    sigs2 = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(toks, 8).collect()}
+    assert sigs1 == sigs2
+    for r in toks.collect():
+        per_tok = spark.createDataFrame([(t,) for t in r["tokens"]], "t string")
+        for i in range(8):
+            truth = per_tok.select(
+                F.xxhash64(F.concat(F.lit(f"p{i}:"), F.col("t"))).alias("h")
+            ).agg(F.min("h")).first()[0]
+            assert sigs1[r["doc_id"]][i] == truth, (r["doc_id"], i)
+
+
+def test_blocking_minhash_signature_truth(spark, docs):
+    from pyspark.sql import functions as F
+
+    from soweego_spark.operators import blocking as blk
+
+    toks = token_sets(docs).filter("doc_id < 5").cache()
+    sh = blk.shingles(F.array_join(F.col("tokens"), " "))
+    got = {
+        r["doc_id"]: (list(r["mh"]), list(r["sh"]))
+        for r in toks.select(
+            "doc_id", blk.minhash_signature(sh, 6).alias("mh"), sh.alias("sh")
+        ).collect()
+    }
+    for did, (mh, shingle_list) in got.items():
+        per = spark.createDataFrame([(s,) for s in shingle_list], "s string")
+        for i in range(6):
+            truth = per.select(
+                F.xxhash64(
+                    F.concat(F.lit(f"m{i}:"), F.col("s"))
+                ).alias("h")
+            ).agg(F.min("h")).first()[0]
+            assert mh[i] == truth, (did, i)
+
+
+def test_simhash_signature_truth(spark, docs):
+    """Simhash bits replayed from per-token hashes collected separately."""
+    from pyspark.sql import functions as F
+
+    sample = docs.filter("doc_id < 5")
+    toks = token_sets(sample)
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_signatures(sample).collect()}
+    for r in toks.collect():
+        per_tok = spark.createDataFrame([(t,) for t in r["tokens"]], "t string")
+        hs = [row["h"] for row in per_tok.select(F.xxhash64("t").alias("h")).collect()]
+        expected = 0
+        for i in range(64):
+            s = sum(1 if (h >> i) & 1 else -1 for h in hs)
+            if s > 0:
+                expected |= 1 << i
+        if expected >= 2**63:
+            expected -= 2**64
+        assert sims[r["doc_id"]] == expected, r["doc_id"]
