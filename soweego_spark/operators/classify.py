@@ -384,3 +384,51 @@ def score_broadcast(features: DataFrame, model) -> DataFrame:
             yield pd.Series(m.predict_proba(X))
 
     return features.withColumn("score", _score(F.struct(*cols)))
+
+
+@dataclass
+class VotingModel:
+    """M8 (reference classifiers.py:467-539): soft-voting ensemble —
+    average of member probabilities; scored via the broadcast pattern."""
+
+    features: list[str]
+    members: list
+    kind: str = "voting"
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        probs = []
+        for m in self.members:
+            if hasattr(m, "predict_proba"):
+                probs.append(m.predict_proba(X))
+            else:
+                Xm = X
+                if m.binarize is not None:
+                    Xm = (X > m.binarize).astype(np.float64)
+                z = Xm @ m.weights + m.bias
+                probs.append(
+                    (z > 0).astype(np.float64)
+                    if m.kind == "svm"
+                    else 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+                )
+        return np.mean(probs, axis=0)
+
+
+def train_voting(
+    X: np.ndarray,
+    y: np.ndarray,
+    features: list[str] = FEATURE_COLUMNS,
+    n_trees: int = 50,
+    seed: int = 610,
+) -> VotingModel:
+    """Soft vote over logistic + NB + random forest (the reference votes
+    NB, LR, RF, SLP, MLP — the neural members need keras, absent here by
+    design; see SURVEY.md §2.10 M6-M10)."""
+    return VotingModel(
+        list(features),
+        [
+            train_logistic(X, y, features),
+            train_naive_bayes(X, y, features),
+            train_random_forest(X, y, features, n_trees=n_trees, seed=seed),
+        ],
+    )

@@ -89,3 +89,26 @@ def test_subset_token_pairs_semantics(spark):
         for r in blk.subset_token_pairs(wd, target).collect()
     }
     assert got == {("w1", "t1"), ("w1", "t2"), ("w2", "t4")}
+
+
+def test_voting_ensemble(spark, fixture_frames):
+    _, features, labeled = fixture_frames
+    X, y = clf.collect_training_matrix(features, labeled)
+    model = clf.train_voting(X, y, n_trees=20)
+    p = model.predict_proba(X)
+    assert p.shape == y.shape and (0 <= p).all() and (p <= 1).all()
+    pred = (p >= 0.5).astype(float)
+    tp = ((y == 1) & (pred == 1)).sum()
+    fp = ((y == 0) & (pred == 1)).sum()
+    fn = ((y == 1) & (pred == 0)).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.97, f1
+    # ensemble average equals the mean of member probabilities
+    member_mean = np.mean(
+        [clf.VotingModel(model.features, [m]).predict_proba(X) for m in model.members],
+        axis=0,
+    )
+    np.testing.assert_allclose(p, member_mean, atol=1e-12)
+    # and scores identically through the broadcast UDF path
+    scored = clf.score_broadcast(features, model)
+    assert scored.filter("score >= 0.5").count() > 0

@@ -137,3 +137,35 @@ def test_sessionize_emits_on_watermark(spark, tmpdir):
         assert 11 not in got  # its session hasn't timed out yet
     finally:
         q.stop()
+
+
+def test_streaming_extraction_matches_batch(spark, tmpdir):
+    """extract_signatures is a stateless mapInPandas -> identical results
+    when the pages table arrives as a stream (the 10^12-doc lake is fed
+    continuously; the extraction stage must be stream-compatible)."""
+    from soweego_spark.operators.extract import extract_signatures
+    from soweego_spark.sources.pages import generate_pages
+
+    fx = generate_pages(40, seed=21)
+    pages = spark.createDataFrame(fx.pages)
+    pages.write.parquet(f"{tmpdir}/pages")
+
+    batch = extract_signatures(spark.read.parquet(f"{tmpdir}/pages"))
+    batch_out = {
+        r["url"]: (tuple(r["name_tokens"] or []), r["domain"])
+        for r in batch.collect()
+    }
+
+    stream = spark.readStream.schema(batch.sparkSession.read.parquet(
+        f"{tmpdir}/pages").schema).parquet(f"{tmpdir}/pages")
+    name = f"sigstream_{uuid.uuid4().hex[:8]}"
+    q = _start(extract_signatures(stream), name)
+    try:
+        q.processAllAvailable()
+        got = {
+            r["url"]: (tuple(r["name_tokens"] or []), r["domain"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got == batch_out and len(got) == len(fx.pages)
+    finally:
+        q.stop()
