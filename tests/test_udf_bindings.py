@@ -1,0 +1,111 @@
+"""The public Arrow-batched UDF bindings (functions/text.py, urls.py)
+agree with their pure kernels when applied as Spark columns."""
+
+from __future__ import annotations
+
+import pytest
+
+from soweego_spark.functions import text as text_udfs
+from soweego_spark.functions import textnorm, urlnorm
+from soweego_spark.functions import urls as url_udfs
+
+SAMPLES = [
+    "José González — Veneer",
+    "Dvořák, Antonín",
+    "  padded   ",
+    "Иванов Пётр",
+    None,
+    "the And of a",
+]
+
+
+def test_text_udf_bindings(spark):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], "s string")
+    got = df.select(
+        "s",
+        text_udfs.norm_lower("s").alias("lower"),
+        text_udfs.norm_ascii("s").alias("ascii"),
+        text_udfs.text_tokens("s").alias("toks"),
+        text_udfs.name_tokens("s").alias("ntoks"),
+    ).collect()
+    for r in got:
+        if r["s"] is None:
+            assert r["lower"] is None and r["toks"] is None
+            continue
+        ascii_form, lower_form = textnorm.normalize(r["s"])
+        assert r["lower"] == lower_form and r["ascii"] == ascii_form
+        assert list(r["toks"]) == textnorm.tokenize(r["s"])
+        assert list(r["ntoks"]) == textnorm.tokenize(
+            r["s"], textnorm.NAME_STOPWORDS
+        )
+
+
+def test_value_list_udfs(spark):
+    df = spark.createDataFrame(
+        [(["José G.", "JOSE g.", None],), (None,), ([],)],
+        "vals array<string>",
+    )
+    got = df.select(
+        text_udfs.normalize_values("vals").alias("norm"),
+        text_udfs.tokenize_values("vals").alias("toks"),
+    ).collect()
+    assert list(got[0]["norm"]) == sorted(
+        {textnorm.normalize("José G.")[1], textnorm.normalize("JOSE g.")[1]}
+    )
+    assert got[1]["norm"] is None and got[2]["norm"] is None
+
+
+def test_url_udf_bindings(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/x   http://b.example/y zzz",),
+            (None,),
+        ],
+        "cell string",
+    )
+    [r, r_null] = df.select(
+        url_udfs.clean_and_validate("cell").alias("urls")
+    ).collect()
+    expected = []
+    for cand in urlnorm.clean("https://a.example/x   http://b.example/y zzz"):
+        ok = urlnorm.validate(cand)
+        if ok:
+            expected.append(ok)
+    assert list(r["urls"]) == expected
+    assert r_null["urls"] is None
+
+    df2 = spark.createDataFrame(
+        [(["https://music.site.example/artist/jo%C3%A9", None],)],
+        "urls array<string>",
+    )
+    [row] = df2.select(
+        url_udfs.url_tokens("urls").alias("t"),
+        url_udfs.domain_tokens("urls").alias("d"),
+    ).collect()
+    truth = set(urlnorm.tokenize_url("https://music.site.example/artist/jo%C3%A9"))
+    assert set(row["t"]) == truth
+    assert set(row["d"]) == set(
+        urlnorm.tokenize_url(
+            "https://music.site.example/artist/jo%C3%A9", domain_only=True
+        )
+    )
+
+
+def test_jvm_url_helpers(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("https://en.wikipedia.org/wiki/Q42",),
+            ("https://example.com/page",),
+        ],
+        "url string",
+    )
+    got = df.select(
+        url_udfs.host(F.col("url")).alias("h"),
+        url_udfs.qid_in_url(F.col("url")).alias("q"),
+        url_udfs.is_wiki_link(F.col("url")).alias("w"),
+    ).collect()
+    assert got[0]["h"] == "en.wikipedia.org"
+    assert got[0]["q"] == "Q42" and got[0]["w"] is True
+    assert got[1]["q"] == "" and got[1]["w"] is False
