@@ -1,0 +1,86 @@
+"""Connected-components vs a union-find oracle on random graphs.
+
+The large-star/small-star loop is the engine's one iterative operator;
+pin it against a driver-side union-find across graph shapes: sparse
+random, chains (worst case for star rounds), cliques, singletons.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from soweego_spark.operators.cluster import assign_clusters, connected_components
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict[str, set] = {}
+    for n in nodes:
+        groups.setdefault(find(n), set()).add(n)
+    # canonical label = min member, matching the operator's contract
+    return {n: min(g) for g in groups.values() for n in g}
+
+
+def _check(spark, nodes, edges):
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "url string")
+    edges_df = spark.createDataFrame(
+        edges or [("__none_a__", "__none_a__")],
+        "url_a string, url_b string",
+    )
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in assign_clusters(nodes_df, edges_df).collect()
+        if r["url"] in nodes
+    }
+    assert got == _union_find(nodes, edges)
+
+
+def test_random_sparse_graph(spark):
+    rng = random.Random(17)
+    nodes = [f"n{i:03d}" for i in range(200)]
+    edges = []
+    for _ in range(150):
+        a, b = rng.sample(nodes, 2)
+        edges.append((min(a, b), max(a, b)))
+    _check(spark, nodes, edges)
+
+
+def test_long_chain(spark):
+    # Chains maximize star-iteration depth (diameter n); must converge to
+    # one component within max_iterations (O(log n) rounds expected).
+    nodes = [f"c{i:03d}" for i in range(120)]
+    edges = [(nodes[i], nodes[i + 1]) for i in range(len(nodes) - 1)]
+    _check(spark, nodes, edges)
+
+
+def test_cliques_and_singletons(spark):
+    nodes, edges = [], []
+    for c in range(5):
+        members = [f"k{c}_{i}" for i in range(8)]
+        nodes += members
+        edges += [
+            (min(a, b), max(a, b))
+            for i, a in enumerate(members)
+            for b in members[i + 1 :]
+        ]
+    nodes += [f"solo{i}" for i in range(10)]  # no edges -> self clusters
+    _check(spark, nodes, edges)
+
+
+def test_duplicate_and_self_edges_ignored(spark):
+    nodes = ["a", "b", "c"]
+    edges = [("a", "b"), ("a", "b"), ("b", "a"), ("c", "c")]
+    _check(spark, nodes, edges)
