@@ -173,16 +173,16 @@ def _cosine_map_expr(ma, na, mb, nb):
     ``map_zip_with`` unions the key sets; missing counts coalesce to 0, so
     the aggregate over values is exactly the sparse dot product. Norms were
     taken at extract time (oracle: simkernels.cosine_bow)."""
+    # Iterate the left map's entries and probe the right map — exactly the
+    # sparse dot product, but O(|ma|) with O(1) lookups instead of
+    # materializing the |ma ∪ mb| zipped map (terms missing on either side
+    # contribute 0 anyway).
     dot = F.aggregate(
-        F.map_values(
-            F.map_zip_with(
-                ma, mb,
-                lambda k, x, y: F.coalesce(x, F.lit(0)).cast("long")
-                * F.coalesce(y, F.lit(0)).cast("long"),
-            )
-        ),
+        F.map_entries(ma),
         F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+        lambda acc, e: acc
+        + e["value"].cast("long")
+        * F.coalesce(F.element_at(mb, e["key"]), F.lit(0)).cast("long"),
     ).cast("double")
     return F.when(
         ma.isNull() | mb.isNull() | na.isNull() | nb.isNull()
