@@ -65,19 +65,30 @@ def token_blocking(
     )
 
     # Top-k per document on either side (the dedup-symmetric version of the
-    # reference's per-item LIMIT 5).
+    # reference's per-item LIMIT 5). Two branches unioned instead of one
+    # OR-filter over both ranks: a `row_number() <= k` filter DIRECTLY
+    # after its window lets Catalyst insert WindowGroupLimit (per-partition
+    # top-k pruning before the final sort); the OR form disables the
+    # pushdown for both windows (~30% slower measured). The pair aggregate
+    # is cached so the two branches share one computation.
     w_a = Window.partitionBy("url_a").orderBy(
         F.desc("shared_tokens"), F.asc("url_b")
     )
     w_b = Window.partitionBy("url_b").orderBy(
         F.desc("shared_tokens"), F.asc("url_a")
     )
-    return (
-        pairs.withColumn("rank_a", F.row_number().over(w_a))
-        .withColumn("rank_b", F.row_number().over(w_b))
-        .filter((F.col("rank_a") <= top_k) | (F.col("rank_b") <= top_k))
-        .select("url_a", "url_b", "shared_tokens")
+    pairs = pairs.cache()
+    branch_a = (
+        pairs.withColumn("rn", F.row_number().over(w_a))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
     )
+    branch_b = (
+        pairs.withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )
+    return branch_a.unionByName(branch_b).distinct()
 
 
 def url_blocking(sig: DataFrame, url_df_cap: int = 50) -> DataFrame:
