@@ -47,11 +47,19 @@ resume (plans/checkpoint.py, tests/test_checkpoint_resume.py), sources
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# soweego_spark lives next to this file; make imports work regardless of
+# the driver's cwd.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",

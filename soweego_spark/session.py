@@ -30,6 +30,17 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle = shuffle_partitions or max(cpus * 2, 8)
+
+    # Executor python workers must import soweego_spark regardless of the
+    # launch cwd: driver-side sys.path does NOT propagate to workers, so
+    # put the package's parent dir on PYTHONPATH before the JVM forks them
+    # (spark-submit deployments ship the package via --py-files instead).
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if repo_dir not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_dir}{os.pathsep}{current}" if current else repo_dir
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
