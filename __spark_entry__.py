@@ -679,9 +679,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower("text"), " ")).alias("token"),
     ).filter(F.col("token") != "")
-    stop_arr = F.array(*[F.lit(w) for w in stop])
+    # isin compiles to a codegen hash-set probe (InSet) — O(1) per token,
+    # vs array_contains(literal-array) which linearly scans all ~170 words.
     return (
-        toks.withColumn("is_stop", F.array_contains(stop_arr, F.col("token")))
+        toks.withColumn("is_stop", F.col("token").isin(stop))
         .groupBy("doc_id")
         .agg(
             F.round(F.avg(F.col("is_stop").cast("double")), 6).alias(

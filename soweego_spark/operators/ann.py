@@ -244,6 +244,24 @@ def lsh_bucketed_neardup(
     return cand.mapInPandas(confirm, schema=pair_schema).distinct()
 
 
+def _fit_sample(
+    emb: DataFrame, id_col: str, vec_col: str, cap: int
+) -> DataFrame:
+    """Deterministic bounded sample for driver-side centroid fitting.
+
+    ``orderBy(xxhash64(id)).limit(cap)`` is a TakeOrdered (per-partition
+    top-cap + driver merge), not a full sort — the driver never sees more
+    than ``cap`` vectors regardless of table size. xxhash64 of the id is a
+    seedless deterministic shuffle, so the sample is stable across runs
+    and uniformly spread over the id space.
+    """
+    return (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(cap)
+    )
+
+
 def _kmeans_fit(
     mat: np.ndarray, n_centroids: int, seed: int, iters: int
 ) -> np.ndarray:
@@ -276,6 +294,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 4,
+    fit_cap: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means cells as the
     blocking key, exact cosine inside the ``n_probe`` nearest cells.
@@ -283,10 +302,14 @@ def ivf_topk(
     ``n_probe == n_centroids`` degrades to exact brute force (tested
     invariant). At 10^12 vectors the cell assignment is the partition key:
     each cell's members are co-located, a query touches n_probe partitions,
-    and the centroid table is a tiny broadcast.
+    and the centroid table is a tiny broadcast. The k-means fit only ever
+    sees a ``fit_cap``-bounded deterministic sample (see ``_fit_sample``) —
+    the driver never collects the full table.
     """
     spark = emb.sparkSession
-    ids, mat = _collect_matrix(emb, id_col, vec_col)
+    _, mat = _collect_matrix(
+        _fit_sample(emb, id_col, vec_col, fit_cap), id_col, vec_col
+    )
     cent = _kmeans_fit(mat, n_centroids, seed, kmeans_iters)
     b_cent = spark.sparkContext.broadcast(cent)
 

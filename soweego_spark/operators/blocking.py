@@ -65,30 +65,49 @@ def token_blocking(
     )
 
     # Top-k per document on either side (the dedup-symmetric version of the
-    # reference's per-item LIMIT 5). Two branches unioned instead of one
-    # OR-filter over both ranks: a `row_number() <= k` filter DIRECTLY
-    # after its window lets Catalyst insert WindowGroupLimit (per-partition
-    # top-k pruning before the final sort); the OR form disables the
-    # pushdown for both windows (~30% slower measured). The pair aggregate
-    # is cached so the two branches share one computation.
-    w_a = Window.partitionBy("url_a").orderBy(
-        F.desc("shared_tokens"), F.asc("url_b")
+    # reference's per-item LIMIT 5). Implemented as ONE window over a
+    # direction-tagged mirror of the pair list instead of two windows
+    # unioned: partition (key, dir='gt') reproduces exactly the old
+    # url_a-window partition and (key, dir='lt') the url_b one, so the
+    # result set is identical, while the pair aggregate's lineage runs
+    # ONCE (no cache to leak in a long-lived session — round-1 review
+    # item), there is a single window shuffle on (key, dir) instead of
+    # two, and the `row_number() <= k` filter directly after the window
+    # keeps the WindowGroupLimit per-partition top-k pushdown.
+    mirrored = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("url_a").alias("key"),
+                    F.col("url_b").alias("other"),
+                    F.lit("gt").alias("dir"),
+                    F.col("shared_tokens"),
+                ),
+                F.struct(
+                    F.col("url_b").alias("key"),
+                    F.col("url_a").alias("other"),
+                    F.lit("lt").alias("dir"),
+                    F.col("shared_tokens"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    w = Window.partitionBy("key", "dir").orderBy(
+        F.desc("shared_tokens"), F.asc("other")
     )
-    w_b = Window.partitionBy("url_b").orderBy(
-        F.desc("shared_tokens"), F.asc("url_a")
-    )
-    pairs = pairs.cache()
-    branch_a = (
-        pairs.withColumn("rn", F.row_number().over(w_a))
+    kept = (
+        mirrored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_k)
-        .drop("rn")
     )
-    branch_b = (
-        pairs.withColumn("rn", F.row_number().over(w_b))
-        .filter(F.col("rn") <= top_k)
-        .drop("rn")
-    )
-    return branch_a.unionByName(branch_b).distinct()
+    return kept.select(
+        F.when(F.col("dir") == "gt", F.col("key"))
+        .otherwise(F.col("other"))
+        .alias("url_a"),
+        F.when(F.col("dir") == "gt", F.col("other"))
+        .otherwise(F.col("key"))
+        .alias("url_b"),
+        "shared_tokens",
+    ).distinct()
 
 
 def url_blocking(sig: DataFrame, url_df_cap: int = 50) -> DataFrame:

@@ -111,28 +111,41 @@ def decode_image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids = pdf["asset_id"].to_numpy()
+            contents = [bytes(c or b"") for c in pdf["content"]]
+            metas = list(pdf["meta"])
+            n_rows = len(contents)
+            # Histogram + entropy vectorized across the WHOLE batch: one
+            # concatenated byte buffer, one bincount keyed by
+            # (row_index * buckets + byte_bucket) — no per-row numpy calls.
+            lens = np.array([len(c) for c in contents], dtype=np.int64)
+            if lens.sum():
+                cat = np.frombuffer(b"".join(contents), dtype=np.uint8)
+                row_of = np.repeat(np.arange(n_rows), lens)
+                bucket = cat.astype(np.int64) * hist_buckets // 256
+                hists = np.bincount(
+                    row_of * hist_buckets + bucket,
+                    minlength=n_rows * hist_buckets,
+                ).reshape(n_rows, hist_buckets)
+            else:
+                hists = np.zeros((n_rows, hist_buckets), dtype=np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p = hists / np.maximum(lens, 1)[:, None]
+                logp = np.where(p > 0, np.log2(np.where(p > 0, p, 1.0)), 0.0)
+            ents = np.round(-(p * logp).sum(axis=1), 6)
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"] or b"")
-                meta = row["meta"]
+            # Per-row loop only for the decode itself (inherent to a codec).
+            for i in range(n_rows):
+                meta = metas[i]
                 w = int(meta["width"] or 8)
                 h = int(meta["height"] or 8)
-                buf = np.frombuffer(content, dtype=np.uint8)
-                n = len(buf)
-                if n:
-                    hist, _ = np.histogram(buf, bins=hist_buckets, range=(0, 256))
-                    p = hist / n
-                    ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
-                else:
-                    hist = np.zeros(hist_buckets, dtype=np.int64)
-                    ent = 0.0
-                img = _fake_decode_image(content, w, h).astype(np.float64)
+                img = _fake_decode_image(contents[i], w, h).astype(np.float64)
                 out.append(
                     (
-                        row["asset_id"],
-                        n,
-                        round(ent, 6),
-                        hist.astype(np.int64).tolist(),
+                        int(ids[i]),
+                        int(lens[i]),
+                        float(ents[i]),
+                        hists[i].astype(np.int64).tolist(),
                         np.round(img.mean(axis=(0, 1)), 6).tolist(),
                         np.round(img.std(axis=(0, 1)), 6).tolist(),
                     )
@@ -160,12 +173,12 @@ def audio_frame_energy(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 buf = np.frombuffer(
-                    bytes(row["content"] or b""), dtype=np.uint8
+                    bytes(content or b""), dtype=np.uint8
                 ).astype(np.float64)
                 if len(buf) == 0:
-                    out.append((row["asset_id"], 0, [], None))
+                    out.append((asset_id, 0, [], None))
                     continue
                 n_frames = int(np.ceil(len(buf) / frame_bytes))
                 pad = n_frames * frame_bytes - len(buf)
@@ -173,7 +186,7 @@ def audio_frame_energy(
                 energy = np.round(np.sqrt((x * x).mean(axis=1)), 6)
                 out.append(
                     (
-                        row["asset_id"],
+                        asset_id,
                         n_frames,
                         energy.tolist(),
                         int(energy.argmax()),
@@ -202,18 +215,18 @@ def sample_video_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                duration = int(row["meta"]["duration_ms"] or 0)
-                content = bytes(row["content"] or b"")
+            for asset_id, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
+                duration = int(meta["duration_ms"] or 0)
+                content = bytes(content or b"")
                 if duration <= 0 or not content:
                     continue
                 step_ms = int(1000 / fps)
                 for i, off in enumerate(range(0, duration, step_ms)):
                     # stub "frame": 64-byte slice proportional to position
                     pos = int(len(content) * off / duration)
-                    out.append(
-                        (row["asset_id"], i, off, content[pos : pos + 64])
-                    )
+                    out.append((asset_id, i, off, content[pos : pos + 64]))
             yield pd.DataFrame(
                 out, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields]
             )

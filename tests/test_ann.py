@@ -151,3 +151,29 @@ def test_ivf_partial_probe_recall(emb):
     }
     recall = len(ivf & brute) / len(brute)
     assert recall >= 0.5, recall  # half the cells probed on random vectors
+
+
+def test_ivf_fit_sample_is_bounded(emb):
+    """The k-means fit must never see more rows than fit_cap — the
+    scale guard against collecting a 10^9-row table to the driver."""
+    from soweego_spark.operators.ann import _fit_sample, ivf_topk
+
+    total = emb.count()
+    cap = max(2, total // 4)
+    sample = _fit_sample(emb, "vec_id", "embedding", cap)
+    assert sample.count() == cap
+    # deterministic: same cap -> same ids
+    ids1 = [r[0] for r in sample.select("vec_id").collect()]
+    ids2 = [
+        r[0]
+        for r in _fit_sample(emb, "vec_id", "embedding", cap)
+        .select("vec_id")
+        .collect()
+    ]
+    assert ids1 == ids2
+    # operator still works end-to-end with a tiny fit cap
+    out = ivf_topk(
+        emb, emb.filter("vec_id < 5"), k=3, n_centroids=4, n_probe=4,
+        fit_cap=cap,
+    )
+    assert out.count() > 0

@@ -76,3 +76,22 @@ def test_lsh_blocking_band_cap(spark):
     )
     assert clone_pairs.count() == 0
     assert pairs.count() <= 6
+
+
+def test_token_blocking_leaves_no_cached_rdds(spark):
+    """blocking.py caches its shared pair aggregate internally; repeated
+    calls in a long-lived session must not accumulate persisted RDDs."""
+    from pyspark.sql import functions as F
+
+    from soweego_spark.operators.blocking import token_blocking
+
+    sig = spark.createDataFrame(
+        [(f"u{i}", [f"t{i % 7}", f"t{(i + 1) % 7}", "shared"]) for i in range(40)],
+        "url string, name_tokens array<string>",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        token_blocking(sig, top_k=3).count()
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, (before, after)

@@ -96,3 +96,30 @@ def test_xml_row_tag_scan(spark, tmpdir):
         (1, "Miles Davis"),
         (2, "Bill Evans"),
     }
+
+
+def test_jdbc_scan_options_partitioned():
+    from soweego_spark.sources.readers import jdbc_scan_options
+
+    opts = jdbc_scan_options(
+        "jdbc:mysql://host/db",
+        "musicbrainz_artist",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=64,
+        fetch_size=5000,
+    )
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "64"
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "1000000"
+    assert opts["fetchsize"] == "5000"
+
+
+def test_jdbc_scan_options_requires_full_bounds():
+    import pytest
+
+    from soweego_spark.sources.readers import jdbc_scan_options
+
+    with pytest.raises(ValueError):
+        jdbc_scan_options("jdbc:x", "t", partition_column="id")
