@@ -859,6 +859,188 @@ def q_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_neardup(docs, k=5, window=4, min_shared=2)
 
 
+def q_external_id_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (reference url_utils.py:214-328): resolve URLs to (ext_id, pid)
+    via the external-identifier formatter catalog.
+
+    URLs are synthesized deterministically from doc_id so every kernel
+    branch is exercised: head/tail formatter match (mod 0), http + trailing
+    slash tidy-up (mod 1), the full-url-regex optimal case (mod 2), the
+    early give-up when the ID regex rejects the fragment (mod 3, uppercase),
+    and no-match (mod 4).
+    """
+    from soweego_spark.functions.urls import make_external_ids_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    mod = F.col("doc_id") % 5
+    url = (
+        F.when(mod == 0, F.concat(F.lit("https://catalog-a.example/artist/alpha-"), sid))
+        .when(mod == 1, F.concat(F.lit("http://catalog-b.example/artist/beta-"), sid, F.lit("/")))
+        .when(mod == 2, F.concat(F.lit("https://id-hub.example/artist/gamma-"), sid))
+        .when(mod == 3, F.concat(F.lit("https://catalog-a.example/artist/Alpha-"), sid))
+        .otherwise(F.concat(F.lit("https://unrelated.example/page/"), sid))
+    )
+    ids = make_external_ids_udf()
+    d = docs.select("doc_id", url.alias("url")).withColumn(
+        "ids", ids(F.array(F.col("url")))
+    )
+    return d.select(
+        "doc_id",
+        "url",
+        F.element_at("ids", 1)["ext_id"].alias("ext_id"),
+        F.element_at("ids", 1)["pid"].alias("pid"),
+    )
+
+
+# The oracle mirrors the kernel's control flow in SQL: tidy (strip trailing
+# slashes, first 'http' -> 'https'), then the formatter catalog in order —
+# catalog-a / catalog-b by head match + anchored ID-regex prefix extraction
+# (NULL on regex failure = the kernel's early give-up), id-hub by the full
+# URL regex against the ORIGINAL url. substr(..., 34) skips the 33-char
+# formatter head 'https://catalog-x.example/artist/'.
+_Q_EXTERNAL_ID_SQL = r"""
+    WITH urls AS (
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'https://catalog-a.example/artist/alpha-' || doc_id
+                 WHEN 1 THEN 'http://catalog-b.example/artist/beta-' || doc_id || '/'
+                 WHEN 2 THEN 'https://id-hub.example/artist/gamma-' || doc_id
+                 WHEN 3 THEN 'https://catalog-a.example/artist/Alpha-' || doc_id
+                 ELSE 'https://unrelated.example/page/' || doc_id
+               END AS url
+        FROM documents
+    ),
+    tidied AS (
+        SELECT doc_id, url,
+               CASE WHEN t LIKE 'https%' THEN t
+                    ELSE regexp_replace(t, 'http', 'https') END AS tidy
+        FROM (SELECT doc_id, url, regexp_replace(url, '/+$', '') AS t
+              FROM urls)
+    )
+    SELECT doc_id, url,
+           CASE
+             WHEN starts_with(tidy, 'https://catalog-a.example/artist/')
+               THEN CASE WHEN regexp_matches(substr(tidy, 34), '^[a-z0-9-]+')
+                         THEN regexp_extract(substr(tidy, 34), '^[a-z0-9-]+')
+                         END
+             WHEN starts_with(tidy, 'https://catalog-b.example/artist/')
+               THEN CASE WHEN regexp_matches(substr(tidy, 34), '^[a-z0-9-]+')
+                         THEN regexp_extract(substr(tidy, 34), '^[a-z0-9-]+')
+                         END
+             WHEN regexp_matches(url, '^https?://id-hub\.example/artist/([a-z0-9-]+)/?$')
+               THEN regexp_extract(url, '^https?://id-hub\.example/artist/([a-z0-9-]+)/?$', 1)
+           END AS ext_id,
+           CASE
+             WHEN starts_with(tidy, 'https://catalog-a.example/artist/')
+               THEN CASE WHEN regexp_matches(substr(tidy, 34), '^[a-z0-9-]+')
+                         THEN 'P9001' END
+             WHEN starts_with(tidy, 'https://catalog-b.example/artist/')
+               THEN CASE WHEN regexp_matches(substr(tidy, 34), '^[a-z0-9-]+')
+                         THEN 'P9002' END
+             WHEN regexp_matches(url, '^https?://id-hub\.example/artist/([a-z0-9-]+)/?$')
+               THEN 'P9003'
+           END AS pid
+    FROM tidied
+"""
+
+
+def q_bio_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO2 non-date claim matching (checks.py:860-917): greedy
+    first-match-wins pairing by normalized-label membership.
+
+    wd claims come from even orders (label set per claim), target statements
+    from odd orders of the same customer; pids 'status' and 'priority' keep
+    the per-PID separation honest.
+    """
+    from soweego_spark.operators.validator import match_bio_claims
+
+    orders = _t(spark, sf_dir, "orders")
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    wd = even.select(
+        F.col("o_custkey").alias("tid"),
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("o_orderkey") * 2).alias("wd_idx"),
+                    F.lit("status").alias("pid"),
+                    F.array(F.lower("o_orderstatus")).alias("values"),
+                ),
+                F.struct(
+                    (F.col("o_orderkey") * 2 + 1).alias("wd_idx"),
+                    F.lit("priority").alias("pid"),
+                    F.array(
+                        F.lower("o_orderpriority"),
+                        F.concat(F.lit("alt-"), F.lower("o_orderpriority")),
+                    ).alias("values"),
+                ),
+            )
+        ).alias("c"),
+        F.concat(F.lit("Q"), F.col("o_orderkey").cast("string")).alias("qid"),
+    ).select("tid", F.col("c.wd_idx"), F.col("c.pid"), "qid", F.col("c.values"))
+
+    tgt = odd.select(
+        F.col("o_custkey").alias("tid"),
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("o_orderkey") * 2).alias("t_idx"),
+                    F.lit("status").alias("pid"),
+                    F.lower("o_orderstatus").alias("t_value"),
+                ),
+                F.struct(
+                    (F.col("o_orderkey") * 2 + 1).alias("t_idx"),
+                    F.lit("priority").alias("pid"),
+                    F.lower("o_orderpriority").alias("t_value"),
+                ),
+            )
+        ).alias("c"),
+    ).select("tid", F.col("c.t_idx"), F.col("c.pid"), F.col("c.t_value"))
+
+    return match_bio_claims(wd, tgt)
+
+
+_Q_BIO_VALIDATION_SQL = """
+    WITH wd AS (
+        SELECT o_custkey AS tid, o_orderkey * 2 AS wd_idx,
+               'status' AS pid, 'Q' || o_orderkey AS qid,
+               [lower(o_orderstatus)] AS vals
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_custkey, o_orderkey * 2 + 1, 'priority', 'Q' || o_orderkey,
+               [lower(o_orderpriority), 'alt-' || lower(o_orderpriority)]
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    tgt AS (
+        SELECT o_custkey AS tid, o_orderkey * 2 AS t_idx,
+               'status' AS pid, lower(o_orderstatus) AS t_value
+        FROM orders WHERE o_orderkey % 2 = 1
+        UNION ALL
+        SELECT o_custkey, o_orderkey * 2 + 1, 'priority',
+               lower(o_orderpriority)
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    cand AS (
+        SELECT wd.tid, wd.pid, wd.qid, wd.wd_idx, tgt.t_idx
+        FROM wd JOIN tgt ON wd.tid = tgt.tid AND wd.pid = tgt.pid
+        WHERE list_contains(wd.vals, tgt.t_value)
+    ),
+    r1 AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY tid, wd_idx ORDER BY t_idx) AS rn1
+        FROM cand
+    ),
+    r2 AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY tid, t_idx ORDER BY wd_idx) AS rn2
+        FROM r1 WHERE rn1 = 1
+    )
+    SELECT tid, pid, qid, wd_idx, t_idx FROM r2 WHERE rn2 = 1
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -911,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "windowed_events": q_windowed_events,
+        "external_id_extraction": q_external_id_extraction,
+        "bio_validation": q_bio_validation,
     }
 
 
@@ -943,4 +1127,6 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _Q_TOKEN_COUNT_SQL,
         "doc_fingerprint": _Q_FINGERPRINT_SQL,
         "windowed_events": _Q_WINDOWED_EVENTS_SQL,
+        "external_id_extraction": _Q_EXTERNAL_ID_SQL,
+        "bio_validation": _Q_BIO_VALIDATION_SQL,
     }

@@ -11,9 +11,78 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from soweego_spark.functions import urlnorm
+
+# F5 formatter catalog: {pid: {formatter_url: (id_regex, url_regex)}} — the
+# shape the reference loads from Wikidata external-ID property formatters
+# (url_utils.py:214-328). The engine is catalog-agnostic: callers pass their
+# own dict; this default matches the synthetic fixture's profile hosts
+# (sources/pages.py PROFILE_HOSTS) with synthetic PIDs. id-hub gets a full
+# url_regex to exercise the optimal-case branch; the others use the
+# head/tail formatter match.
+# Regexes are pre-compiled — the exact shape the reference builds from the
+# SPARQL formatter query (its failure-path logging assumes .pattern).
+import re as _re
+
+DEFAULT_FORMATTERS: dict[str, dict] = {
+    "P9001": {
+        "https://catalog-a.example/artist/$1": (_re.compile(r"[a-z0-9-]+"), None)
+    },
+    "P9002": {
+        "https://catalog-b.example/artist/$1": (_re.compile(r"[a-z0-9-]+"), None)
+    },
+    "P9003": {
+        "https://id-hub.example/artist/$1": (
+            _re.compile(r"[a-z0-9-]+"),
+            _re.compile(r"https?://id-hub\.example/artist/([a-z0-9-]+)/?$"),
+        )
+    },
+}
+
+EXT_IDS_TYPE = ArrayType(
+    StructType(
+        [StructField("ext_id", StringType()), StructField("pid", StringType())]
+    )
+)
+
+
+def make_external_ids_udf(formatters=None):
+    """F5 Spark binding (reference url_utils.py:214-328 via the parity-tested
+    kernel urlnorm.extract_external_id): ARRAY<STRING> of URLs ->
+    ARRAY<STRUCT<ext_id, pid>> of resolved external identifiers, deduped,
+    input order preserved; None when nothing resolves.
+
+    The formatter dict rides the UDF closure — it is a few KB of templates
+    (equivalent to a broadcast for this size; swap to an explicit
+    ``sparkContext.broadcast`` if a catalog ships 10^5 formatters).
+    """
+    fmts = DEFAULT_FORMATTERS if formatters is None else formatters
+
+    @F.pandas_udf(EXT_IDS_TYPE)
+    def external_ids(col: pd.Series) -> pd.Series:
+        def _one(urls):
+            if urls is None:
+                return None
+            out, seen = [], set()
+            for u in urls:
+                if u is None:
+                    continue
+                ext_id, pid = urlnorm.extract_external_id(u, fmts)
+                if ext_id is not None and (ext_id, pid) not in seen:
+                    seen.add((ext_id, pid))
+                    out.append({"ext_id": ext_id, "pid": pid})
+            return out or None
+
+        return col.map(_one)
+
+    return external_ids
 
 
 @F.pandas_udf(ArrayType(StringType()))

@@ -172,11 +172,11 @@ def apply_rules(
     rows or make sure ``scored`` still carries a_*/b_* columns."""
     df = scored
     if pair_rows is not None:
+        rule_cols = [
+            "a_name_tokens", "b_name_tokens", "a_urls", "b_urls",
+        ] + [c for c in ("a_ext_ids", "b_ext_ids") if c in pair_rows.columns]
         df = df.join(
-            pair_rows.select(
-                "url_a", "url_b", "a_name_tokens", "b_name_tokens",
-                "a_urls", "b_urls",
-            ),
+            pair_rows.select("url_a", "url_b", *rule_cols),
             ["url_a", "url_b"],
         )
     out = F.col("score")
@@ -193,11 +193,24 @@ def apply_rules(
         )
         out = F.when(disjoint, F.lit(0.0)).otherwise(out)
     if url_rule:
+        # Reference semantics (link.py:345-367): the rule fires on a shared
+        # RESOLVED external identifier — two differently-spelled URLs
+        # (http/https, trailing slash) of the same catalog profile still
+        # match. Raw-URL overlap stays as the fallback for sides where no
+        # formatter resolved anything (the reference keeps such URLs in the
+        # generic url statements and compares them exactly).
         shared_url = (
             F.col("a_urls").isNotNull()
             & F.col("b_urls").isNotNull()
             & F.arrays_overlap("a_urls", "b_urls")
         )
+        if "a_ext_ids" in df.columns and "b_ext_ids" in df.columns:
+            shared_ext = (
+                F.col("a_ext_ids").isNotNull()
+                & F.col("b_ext_ids").isNotNull()
+                & F.arrays_overlap("a_ext_ids", "b_ext_ids")
+            )
+            shared_url = shared_ext | shared_url
         out = F.when(shared_url, F.lit(1.0)).otherwise(out)
     return df.withColumn("score", out).select(
         "url_a", "url_b", *[c for c in scored.columns if c not in ("url_a", "url_b")]
@@ -386,6 +399,243 @@ def score_broadcast(features: DataFrame, model) -> DataFrame:
     return features.withColumn("score", _score(F.struct(*cols)))
 
 
+# ------------------------------------------------------- M6/M7: SLP / MLP
+#
+# Reference: keras Sequential models (classifiers.py:296-358 SLP,
+# 360-430 MLP) trained with binary cross-entropy, a 0.33 validation tail
+# split (constants.py:364), EarlyStopping on val_loss with patience 100 and
+# best-weight restore (classifiers.py:110-126). keras is absent from this
+# container by policy, so both are pure-numpy reimplementations of the same
+# architectures with seeded deterministic init and the same stopping rule.
+#
+# SLP = Dense(1, sigmoid) + Nadam (constants.py:382-387) — its fitted form
+# IS a LinearModel, so scoring stays pure JVM column arithmetic.
+# MLP = Dense(128, selu) -> BatchNorm -> Dense(32, selu) -> BatchNorm ->
+# Dense(1, sigmoid) + Adadelta (constants.py:388-397); non-linear, so it
+# scores through the broadcast pandas-UDF path like the forest.
+
+_SELU_ALPHA = 1.6732632423543772
+_SELU_SCALE = 1.0507009873554805
+
+
+def _selu(x: np.ndarray) -> np.ndarray:
+    return _SELU_SCALE * np.where(x > 0, x, _SELU_ALPHA * (np.exp(x) - 1.0))
+
+
+def _selu_grad(x: np.ndarray) -> np.ndarray:
+    return _SELU_SCALE * np.where(x > 0, 1.0, _SELU_ALPHA * np.exp(x))
+
+
+def _val_split(X: np.ndarray, y: np.ndarray, split: float = 0.33):
+    """keras ``validation_split`` semantics: the LAST fraction, no shuffle."""
+    n_val = int(len(y) * split)
+    if n_val == 0 or n_val == len(y):
+        return X, y, X, y
+    return X[:-n_val], y[:-n_val], X[-n_val:], y[-n_val:]
+
+
+def _bce(p: np.ndarray, y: np.ndarray) -> float:
+    p = np.clip(p, 1e-7, 1 - 1e-7)
+    return float(-(y * np.log(p) + (1 - y) * np.log(1 - p)).mean())
+
+
+def train_slp(
+    X: np.ndarray,
+    y: np.ndarray,
+    features: list[str] = FEATURE_COLUMNS,
+    epochs: int = 1000,
+    batch_size: int = 256,
+    lr: float = 0.002,
+    patience: int = 100,
+    seed: int = 610,
+) -> LinearModel:
+    """M6: single dense sigmoid unit, Nadam, BCE, early stopping on the
+    0.33 validation tail with best-weight restore."""
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    Xt, yt, Xv, yv = _val_split(X, y)
+    rng = np.random.RandomState(seed)
+    d = X.shape[1]
+    # glorot-uniform (keras Dense default), seeded
+    limit = np.sqrt(6.0 / (d + 1))
+    w = rng.uniform(-limit, limit, size=d + 1)
+    w[-1] = 0.0
+    b1, b2, eps = 0.9, 0.999, 1e-7
+    m = np.zeros_like(w)
+    v = np.zeros_like(w)
+    Xtb = np.hstack([Xt, np.ones((len(Xt), 1))])
+    Xvb = np.hstack([Xv, np.ones((len(Xv), 1))])
+    best_w, best_loss, since_best, t = w.copy(), np.inf, 0, 0
+    for _ in range(epochs):
+        order = rng.permutation(len(yt))
+        for s in range(0, len(yt), batch_size):
+            idx = order[s : s + batch_size]
+            xb, yb = Xtb[idx], yt[idx]
+            p = 1.0 / (1.0 + np.exp(-np.clip(xb @ w, -35, 35)))
+            g = xb.T @ (p - yb) / len(yb)
+            t += 1
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            m_hat = (b1 * m + (1 - b1) * g) / (1 - b1 ** (t + 1))
+            v_hat = v / (1 - b2**t)
+            w -= lr * m_hat / (np.sqrt(v_hat) + eps)
+        pv = 1.0 / (1.0 + np.exp(-np.clip(Xvb @ w, -35, 35)))
+        loss = _bce(pv, yv)
+        if loss < best_loss - 1e-9:
+            best_loss, best_w, since_best = loss, w.copy(), 0
+        else:
+            since_best += 1
+            if since_best >= patience:
+                break
+    return LinearModel(list(features), best_w[:-1], float(best_w[-1]), kind="slp")
+
+
+@dataclass
+class MLPModel:
+    """M7 fitted parameters; scored via the broadcast pandas-UDF path."""
+
+    features: list[str]
+    params: dict
+    kind: str = "mlp"
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        p = self.params
+        X = np.asarray(X, dtype=np.float64)
+        h = X
+        for i in (1, 2):
+            z = h @ p[f"W{i}"] + p[f"b{i}"]
+            a = _selu(z)
+            xhat = (a - p[f"rm{i}"]) / np.sqrt(p[f"rv{i}"] + 1e-3)
+            h = p[f"g{i}"] * xhat + p[f"be{i}"]
+        z3 = h @ p["W3"] + p["b3"]
+        return 1.0 / (1.0 + np.exp(-np.clip(z3[:, 0], -35, 35)))
+
+
+def train_mlp(
+    X: np.ndarray,
+    y: np.ndarray,
+    features: list[str] = FEATURE_COLUMNS,
+    hidden=(128, 32),
+    epochs: int = 1000,
+    batch_size: int = 512,
+    lr: float = 1.0,
+    rho: float = 0.95,
+    patience: int = 100,
+    seed: int = 610,
+) -> MLPModel:
+    """M7: Dense(selu) x2 with BatchNorm, sigmoid head, Adadelta, BCE,
+    early stopping on the 0.33 validation tail with best-weight restore.
+
+    Adadelta uses the original paper's lr=1.0 (keras-legacy default) —
+    tf.keras' 0.001 barely moves in 1000 epochs on a matrix this small.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    Xt, yt, Xv, yv = _val_split(X, y)
+    rng = np.random.RandomState(seed)
+    d = X.shape[1]
+    h1, h2 = hidden
+    eps_bn, eps_ad, momentum = 1e-3, 1e-7, 0.99
+
+    def glorot(n_in, n_out):
+        limit = np.sqrt(6.0 / (n_in + n_out))
+        return rng.uniform(-limit, limit, size=(n_in, n_out))
+
+    p = {
+        "W1": glorot(d, h1), "b1": np.zeros(h1),
+        "g1": np.ones(h1), "be1": np.zeros(h1),
+        "rm1": np.zeros(h1), "rv1": np.ones(h1),
+        "W2": glorot(h1, h2), "b2": np.zeros(h2),
+        "g2": np.ones(h2), "be2": np.zeros(h2),
+        "rm2": np.zeros(h2), "rv2": np.ones(h2),
+        "W3": glorot(h2, 1), "b3": np.zeros(1),
+    }
+    grads_keys = ["W1", "b1", "g1", "be1", "W2", "b2", "g2", "be2", "W3", "b3"]
+    acc_g = {k: np.zeros_like(p[k]) for k in grads_keys}
+    acc_u = {k: np.zeros_like(p[k]) for k in grads_keys}
+
+    def forward_train(xb):
+        cache = {}
+        h = xb
+        for i in (1, 2):
+            z = h @ p[f"W{i}"] + p[f"b{i}"]
+            a = _selu(z)
+            mu = a.mean(axis=0)
+            var = a.var(axis=0)
+            xhat = (a - mu) / np.sqrt(var + eps_bn)
+            out = p[f"g{i}"] * xhat + p[f"be{i}"]
+            cache[i] = (h, z, a, mu, var, xhat)
+            p[f"rm{i}"] = momentum * p[f"rm{i}"] + (1 - momentum) * mu
+            p[f"rv{i}"] = momentum * p[f"rv{i}"] + (1 - momentum) * var
+            h = out
+        z3 = h @ p["W3"] + p["b3"]
+        prob = 1.0 / (1.0 + np.exp(-np.clip(z3[:, 0], -35, 35)))
+        cache[3] = h
+        return prob, cache
+
+    def backward(xb, yb, prob, cache):
+        n = len(yb)
+        g = {}
+        dz3 = (prob - yb)[:, None] / n            # BCE + sigmoid
+        g["W3"] = cache[3].T @ dz3
+        g["b3"] = dz3.sum(axis=0)
+        dh = dz3 @ p["W3"].T
+        for i in (2, 1):
+            hin, z, a, mu, var, xhat = cache[i]
+            g[f"g{i}"] = (dh * xhat).sum(axis=0)
+            g[f"be{i}"] = dh.sum(axis=0)
+            # batchnorm backward (standard closed form)
+            dxhat = dh * p[f"g{i}"]
+            inv = 1.0 / np.sqrt(var + eps_bn)
+            da = (
+                inv / n
+                * (
+                    n * dxhat
+                    - dxhat.sum(axis=0)
+                    - xhat * (dxhat * xhat).sum(axis=0)
+                )
+            )
+            dz = da * _selu_grad(z)
+            g[f"W{i}"] = hin.T @ dz
+            g[f"b{i}"] = dz.sum(axis=0)
+            dh = dz @ p[f"W{i}"].T
+        return g
+
+    def val_loss():
+        model = MLPModel(list(features), p)
+        return _bce(model.predict_proba(Xv), yv)
+
+    best = {k: p[k].copy() for k in p}
+    best_loss, since_best = np.inf, 0
+    for _ in range(epochs):
+        order = rng.permutation(len(yt))
+        for s in range(0, len(yt), batch_size):
+            idx = order[s : s + batch_size]
+            if len(idx) < 2:
+                continue  # batchnorm needs batch statistics
+            prob, cache = forward_train(Xt[idx])
+            g = backward(Xt[idx], yt[idx], prob, cache)
+            for k in grads_keys:
+                acc_g[k] = rho * acc_g[k] + (1 - rho) * g[k] ** 2
+                upd = (
+                    np.sqrt(acc_u[k] + eps_ad)
+                    / np.sqrt(acc_g[k] + eps_ad)
+                    * g[k]
+                )
+                acc_u[k] = rho * acc_u[k] + (1 - rho) * upd**2
+                p[k] -= lr * upd
+        loss = val_loss()
+        if loss < best_loss - 1e-9:
+            best_loss = loss
+            best = {k: p[k].copy() for k in p}
+            since_best = 0
+        else:
+            since_best += 1
+            if since_best >= patience:
+                break
+    return MLPModel(list(features), best)
+
+
 @dataclass
 class VotingModel:
     """M8 (reference classifiers.py:467-539): soft-voting ensemble —
@@ -420,15 +670,17 @@ def train_voting(
     features: list[str] = FEATURE_COLUMNS,
     n_trees: int = 50,
     seed: int = 610,
+    nn_epochs: int = 1000,
 ) -> VotingModel:
-    """Soft vote over logistic + NB + random forest (the reference votes
-    NB, LR, RF, SLP, MLP — the neural members need keras, absent here by
-    design; see SURVEY.md §2.10 M6-M10)."""
+    """Soft vote over the reference's full 5-member ensemble — NB, LR, RF,
+    SLP, MLP (constants.py:297-303 CLASSIFIERS_FOR_ENSEMBLE)."""
     return VotingModel(
         list(features),
         [
-            train_logistic(X, y, features),
             train_naive_bayes(X, y, features),
+            train_logistic(X, y, features),
             train_random_forest(X, y, features, n_trees=n_trees, seed=seed),
+            train_slp(X, y, features, epochs=nn_epochs, seed=seed),
+            train_mlp(X, y, features, epochs=nn_epochs, seed=seed),
         ],
     )

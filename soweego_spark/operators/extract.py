@@ -21,6 +21,9 @@ Output schema (SIGNATURE_SCHEMA):
   born_p / died_p ARRAY<STRUCT<y,mo,d,h,mi,s,depth INT>> parsed (dates.py)
   urls ARRAY<STRING>                      cleaned + validated outbound links
   url_tokens ARRAY<STRING>                sorted set, TLD/prefix stop words out
+  ext_ids ARRAY<STRUCT<ext_id,pid>>       external identifiers resolved from
+                                          urls via the F5 formatter catalog
+                                          (reference url_utils.py:214-328)
   description STRING                      free-text remainder
   description_tokens ARRAY<STRING>
   occupations ARRAY<STRING>, genres ARRAY<STRING>
@@ -66,6 +69,17 @@ SIGNATURE_SCHEMA = StructType(
         StructField("died_p", ArrayType(DATE_PARTS_STRUCT)),
         StructField("urls", ArrayType(StringType())),
         StructField("url_tokens", ArrayType(StringType())),
+        StructField(
+            "ext_ids",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("ext_id", StringType()),
+                        StructField("pid", StringType()),
+                    ]
+                )
+            ),
+        ),
         StructField("description", StringType()),
         StructField("description_tokens", ArrayType(StringType())),
         StructField("occupations", ArrayType(StringType())),
@@ -111,7 +125,7 @@ def _date_cell(date_str: str | None):
     return raw, [dict(zip(keys, parsed))]
 
 
-def _extract_one(url, html, text):
+def _extract_one(url, html, text, formatters):
     m = _H1_RE.search(html) if html is not None else None
     display = m.group(1).decode("utf8", "replace").strip() if m else None
     if display is None and text:
@@ -142,7 +156,7 @@ def _extract_one(url, html, text):
     )
 
     links_m = _LINKS_RE.search(text) if text else None
-    urls_out, url_toks = None, None
+    urls_out, url_toks, ext_ids = None, None, None
     if links_m:
         validated = []
         for cand in urlnorm.clean(links_m.group(1)):
@@ -157,6 +171,15 @@ def _extract_one(url, html, text):
                 if ut:
                     toks.update(ut)
             url_toks = sorted(toks) or None
+            # F5: resolve each outbound URL against the external-id
+            # formatter catalog (url_utils.py:214-328).
+            ids, seen = [], set()
+            for u in urls_out:
+                ext_id, pid = urlnorm.extract_external_id(u, formatters)
+                if ext_id is not None and (ext_id, pid) not in seen:
+                    seen.add((ext_id, pid))
+                    ids.append({"ext_id": ext_id, "pid": pid})
+            ext_ids = ids or None
 
     bio_m = _BIO_RE.search(text) if text else None
     description = bio_m.group(1) if bio_m else None
@@ -192,6 +215,7 @@ def _extract_one(url, html, text):
         died_p,
         urls_out,
         url_toks,
+        ext_ids,
         description,
         desc_toks,
         occs,
@@ -203,16 +227,23 @@ def _extract_one(url, html, text):
     )
 
 
-def extract_signatures(pages: DataFrame) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> signatures (SIGNATURE_SCHEMA)."""
+def extract_signatures(pages: DataFrame, formatters=None) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> signatures (SIGNATURE_SCHEMA).
+
+    ``formatters``: the F5 external-id formatter catalog
+    ({pid: {formatter_url: (id_regex, url_regex)}}); defaults to
+    functions.urls.DEFAULT_FORMATTERS."""
+    from soweego_spark.functions.urls import DEFAULT_FORMATTERS
+
+    fmts = DEFAULT_FORMATTERS if formatters is None else formatters
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                _extract_one(u, h, t)
+                _extract_one(u, h, t, fmts)
                 for u, h, t in zip(pdf["url"], pdf["html"], pdf["text"])
             ]
-            cols = list(zip(*out)) if out else [[] for _ in range(19)]
+            cols = list(zip(*out)) if out else [[] for _ in range(20)]
             yield pd.DataFrame(
                 {
                     "url": cols[0],
@@ -227,14 +258,15 @@ def extract_signatures(pages: DataFrame) -> DataFrame:
                     "died_p": cols[8],
                     "urls": cols[9],
                     "url_tokens": cols[10],
-                    "description": cols[11],
-                    "description_tokens": cols[12],
-                    "occupations": cols[13],
-                    "genres": cols[14],
-                    "name_bigrams": cols[15],
-                    "name_bigram_norm": cols[16],
-                    "desc_terms": cols[17],
-                    "desc_norm": cols[18],
+                    "ext_ids": cols[11],
+                    "description": cols[12],
+                    "description_tokens": cols[13],
+                    "occupations": cols[14],
+                    "genres": cols[15],
+                    "name_bigrams": cols[16],
+                    "name_bigram_norm": cols[17],
+                    "desc_terms": cols[18],
+                    "desc_norm": cols[19],
                 }
             )
 

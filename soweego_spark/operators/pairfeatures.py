@@ -68,10 +68,11 @@ def assemble_pairs(pairs: DataFrame, sig: DataFrame) -> DataFrame:
     # desc_terms maps) — at 10^12 docs the description text would dominate
     # shuffle volume for zero benefit.
     feature_cols = [
-        "name", "name_tokens", "urls", "url_tokens", "born_p", "died_p",
-        "occupations", "genres",
+        "name", "name_tokens", "urls", "url_tokens", "ext_ids",
+        "born_p", "died_p", "occupations", "genres",
         "name_bigrams", "name_bigram_norm", "desc_terms", "desc_norm",
     ]
+    feature_cols = [c for c in feature_cols if c in sig.columns]
     a = sig.select(
         F.col("url").alias("url_a"),
         *[F.col(c).alias(f"a_{c}") for c in feature_cols],

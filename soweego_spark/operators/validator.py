@@ -75,6 +75,45 @@ def match_bio_dates(wd_dates: DataFrame, target_dates: DataFrame) -> DataFrame:
     )
 
 
+def match_bio_claims(
+    wd_claims: DataFrame, target_claims: DataFrame
+) -> DataFrame:
+    """SO2, non-date half (checks.py:860-917 ``_compare`` + ``_compare_other``):
+    greedy first-match-wins pairing of non-date claims by normalized-label
+    membership.
+
+    Inputs: ``wd_claims(tid, wd_idx, pid, qid, values ARRAY<STRING>)`` — one
+    row per Wikidata claim, ``values`` already normalized (the reference
+    keeps a set of normalized labels per claim value) — and
+    ``target_claims(tid, t_idx, pid, t_value STRING)`` — one row per catalog
+    statement, value normalized.
+
+    A wd claim matches a target statement when the PIDs agree and the
+    normalized target value is a member of the wd claim's label set
+    (checks.py:908-911). Greedy semantics — each side consumed at most once,
+    scanning in (wd_idx, t_idx) order — use the same two ranked windows as
+    :func:`match_bio_dates` (the reference's used-index sets). The
+    reference's fallback QID resolution for unmatched values
+    (checks.py:913-917) is a live API call: out of scope here; unmatched
+    target rows are simply absent from the output.
+
+    Output: (tid, pid, qid, wd_idx, t_idx) — the 'shared' statement pairs.
+    """
+    j = wd_claims.join(target_claims, ["tid", "pid"]).filter(
+        F.array_contains(F.col("values"), F.col("t_value"))
+    )
+    w1 = Window.partitionBy("tid", "wd_idx").orderBy("t_idx")
+    w2 = Window.partitionBy("tid", "t_idx").orderBy("wd_idx")
+    return (
+        j.select("tid", "pid", "qid", "wd_idx", "t_idx")
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") == 1)
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") == 1)
+        .select("tid", "pid", "qid", "wd_idx", "t_idx")
+    )
+
+
 def enrich_relationships(
     relationships: DataFrame, works: DataFrame, people: DataFrame
 ) -> DataFrame:

@@ -45,6 +45,7 @@ _TRAINERS = {
     "logistic": clf.train_logistic,
     "naive_bayes": clf.train_naive_bayes,
     "svm": clf.train_linear_svm,
+    "slp": clf.train_slp,  # M6 — still a LinearModel: JVM-side scoring
 }
 
 

@@ -91,10 +91,52 @@ def test_subset_token_pairs_semantics(spark):
     assert got == {("w1", "t1"), ("w1", "t2"), ("w2", "t4")}
 
 
+def test_slp_matches_logistic_quality(spark, fixture_frames):
+    """M6: the numpy SLP (Dense+sigmoid, Nadam, early stopping) reaches the
+    logistic-regression F1 on the e2e fixture and is seed-deterministic."""
+    _, features, labeled = fixture_frames
+    X, y = clf.collect_training_matrix(features, labeled)
+
+    def f1_of(p):
+        pred = (p >= 0.5).astype(float)
+        tp = ((y == 1) & (pred == 1)).sum()
+        fp = ((y == 0) & (pred == 1)).sum()
+        fn = ((y == 1) & (pred == 0)).sum()
+        return 2 * tp / (2 * tp + fp + fn)
+
+    lg = clf.train_logistic(X, y)
+    f1_log = f1_of(1 / (1 + np.exp(-(X @ lg.weights + lg.bias))))
+    slp = clf.train_slp(X, y)
+    slp2 = clf.train_slp(X, y)
+    np.testing.assert_array_equal(slp.weights, slp2.weights)
+    f1_slp = f1_of(1 / (1 + np.exp(-(X @ slp.weights + slp.bias))))
+    assert f1_slp >= f1_log - 1e-9, (f1_slp, f1_log)
+    # scoring stays pure column arithmetic (LinearModel contract)
+    assert slp.score_column() is not None
+
+
+def test_mlp_quality_and_determinism(spark, fixture_frames):
+    """M7: the numpy MLP (selu/batchnorm/Adadelta) separates the fixture at
+    least as well as logistic and reproduces bit-identically per seed."""
+    _, features, labeled = fixture_frames
+    X, y = clf.collect_training_matrix(features, labeled)
+    m1 = clf.train_mlp(X, y, epochs=150)
+    m2 = clf.train_mlp(X, y, epochs=150)
+    for k in m1.params:
+        np.testing.assert_array_equal(m1.params[k], m2.params[k])
+    p = m1.predict_proba(X)
+    pred = (p >= 0.5).astype(float)
+    tp = ((y == 1) & (pred == 1)).sum()
+    fp = ((y == 0) & (pred == 1)).sum()
+    fn = ((y == 1) & (pred == 0)).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.97, f1
+
+
 def test_voting_ensemble(spark, fixture_frames):
     _, features, labeled = fixture_frames
     X, y = clf.collect_training_matrix(features, labeled)
-    model = clf.train_voting(X, y, n_trees=20)
+    model = clf.train_voting(X, y, n_trees=20, nn_epochs=150)
     p = model.predict_proba(X)
     assert p.shape == y.shape and (0 <= p).all() and (p <= 1).all()
     pred = (p >= 0.5).astype(float)

@@ -94,3 +94,62 @@ EXT_ID_URLS = [
 def test_extract_external_id_parity(url):
     assert urlnorm.extract_external_id(url, FORMATTERS) == \
         ref_url.get_external_id_from_url(url, FORMATTERS)
+
+
+FMT_URLS = [
+    "https://catalog-a.example/artist/alpha-77",
+    "http://catalog-b.example/artist/beta-8/",
+    "https://id-hub.example/artist/gamma-3",
+    "https://catalog-a.example/artist/Alpha-9",   # id regex rejects -> give up
+    "https://catalog-a.example/artist/alpha-9x!", # prefix-match extraction
+    "https://unrelated.example/page/1",
+]
+
+
+@pytest.mark.parametrize("url", FMT_URLS)
+def test_extract_external_id_matches_reference(url):
+    """F5 kernel parity against the reference's resolver on the synthetic
+    formatter catalog (url_utils.py:214-328)."""
+    from soweego_spark.functions.urls import DEFAULT_FORMATTERS
+
+    assert urlnorm.extract_external_id(
+        url, DEFAULT_FORMATTERS
+    ) == ref_url.get_external_id_from_url(url, DEFAULT_FORMATTERS)
+
+
+def test_external_ids_udf_matches_kernel(spark):
+    """The wired Spark path (pandas UDF over ARRAY<STRING>) returns exactly
+    what the kernel returns per URL, deduped, order preserved."""
+    from pyspark.sql import functions as F
+
+    from soweego_spark.functions.urls import (
+        DEFAULT_FORMATTERS,
+        make_external_ids_udf,
+    )
+
+    rows = [(i, [u]) for i, u in enumerate(FMT_URLS)] + [
+        (len(FMT_URLS), None),
+        (len(FMT_URLS) + 1, list(FMT_URLS)),  # multi-url row
+    ]
+    df = spark.createDataFrame(rows, "id long, urls array<string>")
+    udf = make_external_ids_udf()
+    got = {
+        r["id"]: r["ids"]
+        for r in df.withColumn("ids", udf(F.col("urls"))).collect()
+    }
+    for i, u in enumerate(FMT_URLS):
+        ext_id, pid = urlnorm.extract_external_id(u, DEFAULT_FORMATTERS)
+        if ext_id is None:
+            assert got[i] is None
+        else:
+            assert [(x["ext_id"], x["pid"]) for x in got[i]] == [(ext_id, pid)]
+    assert got[len(FMT_URLS)] is None
+    expected_multi, seen = [], set()
+    for u in FMT_URLS:
+        e, p = urlnorm.extract_external_id(u, DEFAULT_FORMATTERS)
+        if e is not None and (e, p) not in seen:
+            seen.add((e, p))
+            expected_multi.append((e, p))
+    assert [
+        (x["ext_id"], x["pid"]) for x in got[len(FMT_URLS) + 1]
+    ] == expected_multi

@@ -109,3 +109,47 @@ def test_jvm_url_helpers(spark):
     assert got[0]["h"] == "en.wikipedia.org"
     assert got[0]["q"] == "Q42" and got[0]["w"] is True
     assert got[1]["q"] == "" and got[1]["w"] is False
+
+
+def test_extract_emits_ext_ids_and_url_rule_fires(spark):
+    """extract_signatures resolves profile links to (ext_id, pid) structs
+    (F5 wired path) and the M12 url rule treats a shared external id as
+    ground truth even when the raw URLs differ in spelling."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from soweego_spark.operators.classify import apply_rules
+    from soweego_spark.operators.extract import extract_signatures
+    from soweego_spark.operators.pairfeatures import assemble_pairs
+
+    def page(url, link):
+        text = f"Ada Test. Born 1901. Links: {link}"
+        html = f"<html><body><h1>Ada Test</h1><p>{text}</p></body></html>".encode()
+        return (url, datetime(2020, 1, 1), html, text, "en")
+
+    pages = spark.createDataFrame(
+        [
+            # same profile, different spellings: http scheme + trailing slash
+            page("https://site1.example/a", "https://catalog-a.example/artist/ada-1"),
+            page("https://site2.example/b", "http://catalog-a.example/artist/ada-1/"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    sig = extract_signatures(pages)
+    rows = {r["url"]: r["ext_ids"] for r in sig.collect()}
+    for v in rows.values():
+        assert [(x["ext_id"], x["pid"]) for x in v] == [("ada-1", "P9001")]
+
+    pairs = spark.createDataFrame(
+        [("https://site1.example/a", "https://site2.example/b")],
+        "url_a string, url_b string",
+    )
+    pair_rows = assemble_pairs(pairs, sig)
+    scored = pair_rows.select("url_a", "url_b").withColumn(
+        "score", F.lit(0.1)
+    )
+    # raw URLs differ (http vs https, trailing slash) -> the old raw-URL
+    # rule would NOT fire; the external-id rule must.
+    out = apply_rules(scored, pair_rows=pair_rows, name_rule=False).collect()
+    assert out[0]["score"] == 1.0

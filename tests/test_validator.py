@@ -99,3 +99,62 @@ def test_url_blacklist_filter(spark):
     )
     got = {r["tid"] for r in url_blacklist_filter(stmts, ["spam.example"]).collect()}
     assert got == {"t2", "t3"}
+
+
+def test_match_bio_claims_reference_semantics(spark):
+    """SO2 non-date matching mirrors checks.py:860-917: pid must agree,
+    normalized target value must be in the wd label set, greedy both-ways
+    consumption in (wd_idx, t_idx) order."""
+    from soweego_spark.operators.validator import match_bio_claims
+
+    wd = spark.createDataFrame(
+        [
+            # tid 1: two 'occupation' claims; wd 0 can take t 0 or t 1
+            (1, 0, "occupation", "Q100", ["singer", "composer"]),
+            (1, 1, "occupation", "Q101", ["composer"]),
+            # pid separation: same value under a different pid must not match
+            (1, 2, "genre", "Q102", ["singer"]),
+            # tid 2: no overlap
+            (2, 0, "occupation", "Q200", ["drummer"]),
+        ],
+        "tid long, wd_idx long, pid string, qid string, values array<string>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (1, 0, "occupation", "singer"),
+            (1, 1, "occupation", "composer"),
+            (1, 2, "occupation", "pianist"),
+            (2, 0, "occupation", "violinist"),
+        ],
+        "tid long, t_idx long, pid string, t_value string",
+    )
+    got = {
+        (r["tid"], r["wd_idx"], r["t_idx"], r["qid"])
+        for r in match_bio_claims(wd, tgt).collect()
+    }
+    # Greedy: wd 0 scans t in order -> takes t 0 ('singer'); wd 1 then
+    # takes t 1 ('composer'). genre claim and tid 2 never match.
+    assert got == {(1, 0, 0, "Q100"), (1, 1, 1, "Q101")}
+
+
+def test_match_bio_claims_no_double_consumption(spark):
+    """A target statement is consumed by at most one wd claim (the
+    lowest-wd_idx claimant wins)."""
+    from soweego_spark.operators.validator import match_bio_claims
+
+    wd = spark.createDataFrame(
+        [
+            (1, 0, "p", "Q1", ["v"]),
+            (1, 1, "p", "Q2", ["v"]),
+        ],
+        "tid long, wd_idx long, pid string, qid string, values array<string>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, 0, "p", "v")],
+        "tid long, t_idx long, pid string, t_value string",
+    )
+    got = [
+        (r["wd_idx"], r["t_idx"])
+        for r in match_bio_claims(wd, tgt).collect()
+    ]
+    assert got == [(0, 0)]
