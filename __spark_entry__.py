@@ -21,12 +21,12 @@ Operator coverage map (SURVEY.md §2 -> query):
   F6/F7 date precision matching                       -> date_precision_match
   C5    shared-token weighted overlap                 -> token_jaccard_neardup
   dedup exact dedup (hash groupBy)                    -> exact_dedup
-  dedup MinHash LSH near-dup (rows-only check)        -> minhash_lsh_neardup
-  dedup SimHash near-dup (rows-only check)            -> simhash_neardup
+  dedup MinHash LSH near-dup (md5 family, oracled)    -> minhash_lsh_neardup
+  dedup SimHash near-dup (md5 family, oracled)        -> simhash_neardup
   ANN   brute-force cosine top-k (BLAS broadcast)     -> embedding_topk
   ANN   cosine near-dup pairs (BLAS broadcast)        -> embedding_neardup
-  ANN   hyperplane-LSH near-dup (rows-only check)     -> embedding_lsh_neardup
-  ANN   IVF probe top-k (rows-only check)             -> embedding_ivf_topk
+  ANN   hyperplane-LSH near-dup (plane-literal oracle)-> embedding_lsh_neardup
+  ANN   IVF probe top-k (rows-only: iterative k-means)-> embedding_ivf_topk
   text  language-ID heuristic                         -> lang_id
   text  quality scoring                               -> quality_score
   text  token counting                                -> token_count
@@ -536,22 +536,170 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram word shingles (the north_star's "MinHash-LSH bands over shingled
     text"; shingling keeps LSH buckets small even on tiny vocabularies).
 
-    Rows-only driver check (LSH banding is not ANSI-SQL-expressible);
-    the banding + confirmation semantics are verified in pytest against
-    exact decision-replay oracles (tests/test_dedup.py)."""
+    Uses the md5 hash family (operators.dedup.md5_60) so the DuckDB oracle
+    replicates signatures, banding, the bucket cap and the exact-Jaccard
+    confirmation bit-for-bit — a full CORRECTNESS row, not rows-only. The
+    xxhash64 fast path keeps its pytest decision-replay oracles."""
     from soweego_spark.operators.dedup import minhash_lsh_candidates, shingles
 
     docs = _t(spark, sf_dir, "documents")
     toks = shingles(docs, id_col="doc_id", text_col="text", n=3)
-    return minhash_lsh_candidates(toks, jaccard_threshold=0.7)
+    return minhash_lsh_candidates(
+        toks, jaccard_threshold=0.7, hash_family="md5"
+    )
+
+
+_MD5_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _q_minhash_sql(num_perm: int = 64, bands: int = 16, n: int = 3,
+                   cap: int = 10_000, t: float = 0.7) -> str:
+    """DuckDB replica of q_minhash_lsh_neardup: same shingles, same md5
+    double-hashing permutations (Kirsch-Mitzenmacher), same band keys,
+    same cap, same exact-Jaccard confirmation."""
+    from soweego_spark.operators.dedup import PERM_MASK_55, PERM_MASK_60
+
+    rows = num_perm // bands
+    mins = ",\n               ".join(
+        f"min((h1 + {i} * h2) & {PERM_MASK_60}) AS h{i}"
+        for i in range(num_perm)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_val FROM sigs".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"h{b * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    tok_hash = _MD5_H.format(x="tok")
+    tok_hash2 = _MD5_H.format(x="('s:' || tok)")
+    return f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   [array_to_string(w[i:i+{n - 1}], ' ')
+                    FOR i IN range(1, greatest(len(w) - {n}, 0) + 2)]
+               )) AS tokens
+        FROM words
+    ),
+    tokh AS (
+        SELECT doc_id, {tok_hash} AS h1,
+               {tok_hash2} & {PERM_MASK_55} AS h2
+        FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM tokh GROUP BY doc_id
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    kept AS (
+        SELECT band_id, band_val FROM banded
+        GROUP BY band_id, band_val HAVING count(*) <= {cap}
+    ),
+    capped AS (
+        SELECT b.doc_id, b.band_id, b.band_val
+        FROM banded b JOIN kept USING (band_id, band_val)
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM capped l JOIN capped r
+          ON l.band_id = r.band_id AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(ta.tokens, tb.tokens))::DOUBLE
+                 / len(list_distinct(list_concat(ta.tokens, tb.tokens))),
+                 6) AS jaccard
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.doc_a
+    JOIN toks tb ON tb.doc_id = c.doc_b
+    WHERE round(len(list_intersect(ta.tokens, tb.tokens))::DOUBLE
+                / len(list_distinct(list_concat(ta.tokens, tb.tokens))),
+                6) >= {t}
+    """
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (rows-only driver check; pytest oracle)."""
+    """SimHash near-dup over 60-bit md5-family signatures — fully oracled
+    in DuckDB (bit sums, pigeonhole blocks, bit_count confirmation); the
+    64-bit xxhash64 path keeps its pytest ground-truth oracle."""
     from soweego_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, id_col="doc_id", text_col="text", max_hamming=8)
+    return simhash_pairs(
+        docs, id_col="doc_id", text_col="text", max_hamming=8,
+        bits=60, hash_family="md5",
+    )
+
+
+def _q_simhash_sql(bits: int = 60, max_hamming: int = 8,
+                   cap: int = 10_000) -> str:
+    """DuckDB replica of q_simhash_neardup: same token hash, same per-bit
+    +/-1 sums, same block layout, same Hamming confirmation."""
+    n_blocks = max_hamming + 1
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+        for i in range(bits)
+    )
+    base, extra = divmod(bits, n_blocks)
+    block_selects, lo = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        block_selects.append(
+            f"SELECT doc_id, simhash, {i} AS block_id, "
+            f"(simhash >> {lo}) & {mask} AS block_val FROM sigs"
+        )
+        lo += width
+    blocks_sql = "\n        UNION ALL\n        ".join(block_selects)
+    tok_hash = _MD5_H.format(x="tok")
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    tokh AS (SELECT doc_id, {tok_hash} AS h FROM toks),
+    bitsums AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM tokh GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig_terms} AS simhash FROM bitsums),
+    banded AS (
+        {blocks_sql}
+    ),
+    kept AS (
+        SELECT block_id, block_val FROM banded
+        GROUP BY block_id, block_val HAVING count(*) <= {cap}
+    ),
+    capped AS (
+        SELECT b.* FROM banded b JOIN kept USING (block_id, block_val)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               bit_count(xor(l.simhash, r.simhash))::INT AS hamming
+        FROM capped l JOIN capped r
+          ON l.block_id = r.block_id AND l.block_val = r.block_val
+         AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
 
 
 def _cosine_expr(a, b):
@@ -636,12 +784,48 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing + exact confirmation — the
-    sub-quadratic ANN path (rows-only check; precision verified against the
-    brute-force operator in tests/test_ann.py)."""
+    sub-quadratic ANN path. Fully oracled: the seeded hyperplanes are
+    deterministic, so the SQL replica embeds the same plane literals and
+    reproduces bucketing + confirmation exactly (also precision-verified
+    against the brute-force operator in tests/test_ann.py)."""
     from soweego_spark.operators.ann import lsh_bucketed_neardup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_bucketed_neardup(emb, threshold=0.4, n_planes=8)
+    return lsh_bucketed_neardup(emb, threshold=0.4, n_planes=8, seed=61)
+
+
+def _q_embedding_lsh_sql(n_planes: int = 8, dim: int = 64, seed: int = 61,
+                         t: float = 0.4) -> str:
+    """DuckDB replica of q_embedding_lsh_neardup: the operator's seeded
+    hyperplanes embedded as DOUBLE[] literals (repr round-trips float64
+    exactly), sign-bit bucketing, exact cosine confirmation."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    bit_terms = " + ".join(
+        "(CASE WHEN list_inner_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(float(x)) for x in planes[i])}]) > 0 "
+        f"THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+        for i in range(n_planes)
+    )
+    cos = (
+        "list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_inner_product(a.embedding::DOUBLE[],"
+        " a.embedding::DOUBLE[]))"
+        " * sqrt(list_inner_product(b.embedding::DOUBLE[],"
+        " b.embedding::DOUBLE[])))"
+    )
+    return f"""
+    WITH buckets AS (
+        SELECT vec_id, embedding, {bit_terms} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({cos}, 4) AS cosine
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({cos}, 4) >= {t}
+    """
 
 
 _Q_EMBEDDING_NEARDUP_SQL = """
@@ -850,13 +1034,51 @@ _Q_SUBSET_CONTAINMENT_SQL = f"""
 
 
 def q_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash (winnowing) fingerprint near-dup candidates — rows-only
-    driver check; the fingerprint selection is replayed exactly in pytest
-    (tests/test_dedup.py::test_winnowing_fingerprints_replay)."""
+    """Rolling-hash (winnowing) fingerprint near-dup candidates, md5 hash
+    family — fully oracled in DuckDB (k-gram hashes, window minima, the
+    df cap and the shared-count threshold); the xxhash64 path keeps its
+    pytest replay oracle."""
     from soweego_spark.operators.dedup import fingerprint_neardup
 
     docs = _t(spark, sf_dir, "documents")
-    return fingerprint_neardup(docs, k=5, window=4, min_shared=2)
+    return fingerprint_neardup(
+        docs, k=5, window=4, min_shared=2, hash_family="md5"
+    )
+
+
+def _q_winnowing_sql(k: int = 5, window: int = 4, min_shared: int = 2,
+                     max_df: int = 10_000) -> str:
+    gram_hash = _MD5_H.format(x=f"array_to_string(w[i:i+{k - 1}], ' ')")
+    return f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               [{gram_hash}
+                FOR i IN range(1, greatest(len(w) - {k}, 0) + 2)] AS hashes
+        FROM words
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id,
+                   unnest([list_min(hashes[j:j+{window - 1}])
+                           FOR j IN range(1, greatest(len(hashes) - {window},
+                                                      0) + 2)]) AS fp
+            FROM grams)
+    ),
+    kept AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}
+    ),
+    capped AS (SELECT f.* FROM fps f JOIN kept USING (fp))
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           count(*) AS n_shared
+    FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+    GROUP BY l.doc_id, r.doc_id
+    HAVING count(*) >= {min_shared}
+    """
 
 
 def q_external_id_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1115,13 +1337,15 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _Q_EXACT_DEDUP_SQL,
         "token_jaccard_neardup": _Q_TOKEN_JACCARD_SQL,
         "subset_containment": _Q_SUBSET_CONTAINMENT_SQL,
-        # winnowing_neardup: xxhash64 fingerprints not replicable in
-        # DuckDB -> rows-only; pytest replay oracle covers the semantics.
-        # minhash_lsh_neardup / simhash_neardup: LSH banding and bitwise
-        # simhash are not ANSI-SQL-expressible -> rows-only check; their
-        # semantics are pytest-verified against pandas oracles.
+        "winnowing_neardup": _q_winnowing_sql(),
+        "minhash_lsh_neardup": _q_minhash_sql(),
+        "simhash_neardup": _q_simhash_sql(),
         "embedding_topk": _Q_EMBEDDING_TOPK_SQL,
         "embedding_neardup": _Q_EMBEDDING_NEARDUP_SQL,
+        "embedding_lsh_neardup": _q_embedding_lsh_sql(),
+        # embedding_ivf_topk stays rows-only: iterative k-means centroid
+        # fitting is not ANSI-SQL-expressible; the full-probe==brute-force
+        # invariant and bounded-fit guard are pytest-verified (test_ann.py).
         "lang_id": _q_lang_id_sql(),
         "quality_score": _Q_QUALITY_SQL,
         "token_count": _Q_TOKEN_COUNT_SQL,

@@ -22,19 +22,57 @@ codegen applies end to end and the only shuffles are:
   blocking cap (reference linker/blocking.py:138-142) and keeping the
   worst-case pair count at ``buckets * cap^2`` regardless of skew.
 
-Determinism: all hashes are seeded ``xxhash64`` with literal salts; no
-randomness, so results are stable across runs/partitionings and the pytest
-oracles (tests/test_dedup.py) can replicate banding exactly from collected
-signatures.
+Determinism: all hashes are deterministic with literal salts (xxhash64 by
+default, or the DuckDB-replicable md5 family below); no randomness, so
+results are stable across runs/partitionings, the pytest oracles
+(tests/test_dedup.py) replicate banding exactly from collected signatures,
+and the driver's DuckDB oracle replays the md5-family operators in full.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 16
+
+# --------------------------------------------------------------- hashing
+#
+# Two deterministic hash families, selectable per operator:
+#
+# * "xxhash64" (default): Spark's native 64-bit hash — the fast JVM path,
+#   pinned by the pytest ground-truth tests.
+# * "md5": first 15 hex chars of md5 parsed base-16 (a 60-bit value, so no
+#   sign issues in a signed 64-bit) — bit-identical in Spark
+#   (conv(substr(md5(x),1,15),16,10)), DuckDB
+#   (('0x' || substr(md5(x),1,15))::BIGINT) and Python hashlib, which lets
+#   the driver's DuckDB oracle replicate MinHash/SimHash/winnowing
+#   decisions EXACTLY (CORRECTNESS gate) instead of a rows-only check.
+
+
+def md5_60(col):
+    """60-bit md5-prefix hash as a Catalyst expression (see above)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_60_py(s: str) -> int:
+    """The same hash in Python — used to derive permutation salts that are
+    embedded as literals in BOTH the Spark plan and the SQL oracle."""
+    return int(hashlib.md5(s.encode("utf8")).hexdigest()[:15], 16)
+
+
+# Kirsch-Mitzenmacher double hashing for the md5 MinHash family:
+# permutation i of a token is (h1 + i * h2) mod 2^60, with h1 = md5_60(tok)
+# and h2 = md5_60('s:' || tok) masked to 55 bits so i * h2 never overflows
+# a signed 64-bit (i < 64 -> i*h2 < 2^61; plus h1 < 2^60 -> sum < 2^62).
+# XOR-salting a single hash is NOT enough: xor preserves the high-bit
+# ordering, so one globally-minimal token wins almost every permutation and
+# LSH recall collapses (caught by the planted-duplicate test).
+PERM_MASK_60 = (1 << 60) - 1
+PERM_MASK_55 = (1 << 55) - 1
 
 
 def token_sets(
@@ -84,7 +122,9 @@ def shingles(
 
 
 def minhash_signatures(
-    toks: DataFrame, num_perm: int = DEFAULT_NUM_PERM
+    toks: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, tokens) -> (doc_id, tokens, sig ARRAY<BIGINT>[num_perm]).
 
@@ -103,12 +143,32 @@ def minhash_signatures(
     benchmark ~5x faster than the interpreted nested-lambda alternative.
     """
     exploded = toks.select("doc_id", F.explode("tokens").alias("token"))
-    mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"p{i}:"), F.col("token")))).alias(
-            f"h{i}"
+    if hash_family == "md5":
+        # Two md5s per token + num_perm cheap arithmetic projections
+        # (Kirsch-Mitzenmacher, see PERM_MASK_60 note) — DuckDB-replicable
+        # for the oracle gate and cheaper than num_perm independent hashes.
+        exploded = exploded.select(
+            "doc_id",
+            md5_60(F.col("token")).alias("h1"),
+            md5_60(F.concat(F.lit("s:"), F.col("token")))
+            .bitwiseAND(F.lit(PERM_MASK_55))
+            .alias("h2"),
         )
-        for i in range(num_perm)
-    ]
+        mins = [
+            F.min(
+                (F.col("h1") + F.lit(i) * F.col("h2")).bitwiseAND(
+                    F.lit(PERM_MASK_60)
+                )
+            ).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        mins = [
+            F.min(
+                F.xxhash64(F.concat(F.lit(f"p{i}:"), F.col("token")))
+            ).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
     sig = exploded.groupBy("doc_id").agg(*mins).select(
         "doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
     )
@@ -121,6 +181,7 @@ def minhash_lsh_candidates(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     max_bucket_size: int = 10_000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH banding + exact-Jaccard confirmation.
 
@@ -133,21 +194,22 @@ def minhash_lsh_candidates(
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
     rows_per_band = num_perm // bands
 
-    signed = minhash_signatures(toks, num_perm=num_perm)
+    signed = minhash_signatures(toks, num_perm=num_perm, hash_family=hash_family)
 
+    # Band bucket key = the raw comma-joined slice of the signature (an
+    # injective encoding — no second hash needed; equality classes are
+    # exactly "all rows of the band agree").
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            .cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        .cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 ).alias("band_hash"),
             )
             for b in range(bands)
@@ -200,6 +262,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, text) -> (doc_id, simhash BIGINT).
 
@@ -212,9 +275,13 @@ def simhash_signatures(
     tests/test_dedup.py::test_simhash_signature_truth).
     """
     toks = token_sets(docs, id_col=id_col, text_col=text_col)
+    token_hash = (
+        md5_60(F.col("token")) if hash_family == "md5"
+        else F.xxhash64("token")
+    )
     exploded = toks.select(
         "doc_id", F.explode("tokens").alias("token")
-    ).select("doc_id", F.xxhash64("token").alias("h"))
+    ).select("doc_id", token_hash.alias("h"))
     sums = [
         F.sum(
             F.when(
@@ -243,6 +310,7 @@ def simhash_pairs(
     max_hamming: int = 8,
     bits: int = 64,
     max_bucket_size: int = 10_000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """All pairs with simhash Hamming distance <= max_hamming, found
     sub-quadratically.
@@ -254,7 +322,10 @@ def simhash_pairs(
     Same hot-bucket cap as MinHash-LSH for skew.
     """
     n_blocks = max_hamming + 1
-    sig = simhash_signatures(docs, id_col=id_col, text_col=text_col, bits=bits)
+    sig = simhash_signatures(
+        docs, id_col=id_col, text_col=text_col, bits=bits,
+        hash_family=hash_family,
+    )
 
     # Block i covers bit range [lo_i, lo_i + width_i); widths differ by at
     # most 1 so all 64 bits are covered.
@@ -336,6 +407,7 @@ def kgram_hashes(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, text) -> (doc_id, hashes ARRAY<BIGINT>): 64-bit hash per word
     k-gram, in document order (the rolling-hash sequence of Karp-Rabin /
@@ -345,9 +417,10 @@ def kgram_hashes(
         F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
     )
     base = docs.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    hash_one = md5_60 if hash_family == "md5" else F.xxhash64
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i + 1, k))),
+        lambda i: hash_one(F.concat_ws(" ", F.slice("w", i + 1, k))),
     )
     return base.select("doc_id", grams.alias("hashes"))
 
@@ -358,6 +431,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     k: int = 5,
     window: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
     — the standard rolling-hash fingerprint for near-dup/plagiarism at
@@ -369,7 +443,9 @@ def winnowing_fingerprints(
     substring of length >= window + k - 1 words produces at least one
     shared fingerprint.
     """
-    hashed = kgram_hashes(docs, id_col=id_col, text_col=text_col, k=k)
+    hashed = kgram_hashes(
+        docs, id_col=id_col, text_col=text_col, k=k, hash_family=hash_family
+    )
     mins = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("hashes") - window, F.lit(0))),
         lambda j: F.array_min(F.slice("hashes", j + 1, window)),
@@ -387,12 +463,14 @@ def fingerprint_neardup(
     window: int = 4,
     min_shared: int = 2,
     max_df: int = 10_000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates via shared winnowing fingerprints: explode ->
     self-join on fingerprint (df-capped for skew) -> pairs with at least
     ``min_shared`` shared fingerprints."""
     fp = winnowing_fingerprints(
-        docs, id_col=id_col, text_col=text_col, k=k, window=window
+        docs, id_col=id_col, text_col=text_col, k=k, window=window,
+        hash_family=hash_family,
     )
     counts = fp.groupBy("fingerprint").agg(F.count("*").alias("df"))
     keep = counts.filter(F.col("df") <= max_df).select("fingerprint")

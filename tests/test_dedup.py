@@ -237,3 +237,53 @@ def test_simhash_signature_truth(spark, docs):
         if expected >= 2**63:
             expected -= 2**64
         assert sims[r["doc_id"]] == expected, r["doc_id"]
+
+
+def test_md5_family_matches_python_and_finds_planted(spark):
+    """The md5 hash family (driver-oracle path) is bit-identical to hashlib
+    and the md5-variant operators still find planted near-duplicates."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from soweego_spark.operators.dedup import (
+        fingerprint_neardup,
+        md5_60,
+        md5_60_py,
+        minhash_lsh_candidates,
+        simhash_pairs,
+    )
+
+    vals = ["hello", "wörld", "a b c", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = [r["h"] for r in df.select(md5_60(F.col("t")).alias("h")).collect()]
+    assert got == [md5_60_py(v) for v in vals]
+    assert md5_60_py("x") == int(hashlib.md5(b"x").hexdigest()[:15], 16)
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")
+    far = "completely different words about spark shuffle partitions and joins"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], ["doc_id", "text"]
+    )
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(
+            token_sets(docs), jaccard_threshold=0.5, hash_family="md5"
+        ).collect()
+    }
+    assert {(1, 2), (1, 4), (2, 4)} <= mh and not any(3 in p for p in mh)
+    sh = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(
+            docs, max_hamming=10, bits=60, hash_family="md5"
+        ).collect()
+    }
+    assert (1, 4) in sh and (1, 3) not in sh
+    fp = {
+        (r["doc_a"], r["doc_b"])
+        for r in fingerprint_neardup(
+            docs, min_shared=1, hash_family="md5"
+        ).collect()
+    }
+    assert (1, 4) in fp and not any(3 in p for p in fp)
