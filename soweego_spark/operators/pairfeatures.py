@@ -61,15 +61,39 @@ FEATURE_COLUMNS = [
 ]
 
 
-def assemble_pairs(pairs: DataFrame, sig: DataFrame) -> DataFrame:
-    """(url_a, url_b) -> wide pair rows with a_* / b_* signature columns."""
+def assemble_pairs(
+    pairs: DataFrame,
+    sig: DataFrame,
+    occupation_closure: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """(url_a, url_b) -> wide pair rows with a_* / b_* signature columns.
+
+    Pair-invariant feature preprocessing is hoisted HERE, to the signature
+    side of the join — once per DOCUMENT instead of once per PAIR (pairs
+    outnumber documents ~30x, and these were the top cost of the featurize
+    stage, measured):
+
+    * ``url_tokens_nostop`` — C7's URL stop-word removal. The old per-pair
+      ``array_except(col, <876-literal array>)`` rebuilt the 876-element
+      literal per row per side and alone was ~80%% of featurize wall time.
+    * ``occupations_exp`` — C6's class-closure expansion (broadcast map
+      literal), equally pair-invariant.
+    """
     # Only what compute_features reads: raw description/description_tokens
     # stay OUT of the pair shuffle (desc_cos consumes the precomputed
     # desc_terms maps) — at 10^12 docs the description text would dominate
     # shuffle volume for zero benefit.
+    url_stop = sorted(URL_STOPWORDS)
+    sig = sig.withColumn(
+        "url_tokens_nostop",
+        F.filter(F.col("url_tokens"), lambda t: ~t.isin(url_stop)),
+    ).withColumn(
+        "occupations_exp",
+        _expand_with_closure(F.col("occupations"), occupation_closure or {}),
+    )
     feature_cols = [
-        "name", "name_tokens", "urls", "url_tokens", "ext_ids",
-        "born_p", "died_p", "occupations", "genres",
+        "name", "name_tokens", "urls", "url_tokens_nostop", "ext_ids",
+        "born_p", "died_p", "occupations_exp", "genres",
         "name_bigrams", "name_bigram_norm", "desc_terms", "desc_norm",
     ]
     feature_cols = [c for c in feature_cols if c in sig.columns]
@@ -225,18 +249,31 @@ def compute_features(
     pair_rows: DataFrame,
     occupation_closure: dict[str, list[str]] | None = None,
 ) -> DataFrame:
-    """Wide pair rows -> (url_a, url_b, <FEATURE_COLUMNS...>), 0.0-filled."""
-    band_words = sorted(simkernels.BAND_LOW_SCORE_WORDS)
-    url_stop = sorted(URL_STOPWORDS)
+    """Wide pair rows -> (url_a, url_b, <FEATURE_COLUMNS...>), 0.0-filled.
 
-    a_occ = _expand_with_closure(F.col("a_occupations"), occupation_closure or {})
-    b_occ = _expand_with_closure(F.col("b_occupations"), occupation_closure or {})
-    a_ut = F.array_except(
-        F.col("a_url_tokens"), F.array(*[F.lit(w) for w in url_stop])
-    )
-    b_ut = F.array_except(
-        F.col("b_url_tokens"), F.array(*[F.lit(w) for w in url_stop])
-    )
+    Expects rows from :func:`assemble_pairs`, which precomputes the
+    pair-invariant pieces (stop-word-filtered URL tokens, closure-expanded
+    occupations) per document; a fallback computes them per pair for rows
+    assembled elsewhere.
+    """
+    band_words = sorted(simkernels.BAND_LOW_SCORE_WORDS)
+
+    if "a_occupations_exp" in pair_rows.columns:
+        a_occ, b_occ = F.col("a_occupations_exp"), F.col("b_occupations_exp")
+    else:
+        a_occ = _expand_with_closure(
+            F.col("a_occupations"), occupation_closure or {}
+        )
+        b_occ = _expand_with_closure(
+            F.col("b_occupations"), occupation_closure or {}
+        )
+    if "a_url_tokens_nostop" in pair_rows.columns:
+        a_ut = F.col("a_url_tokens_nostop")
+        b_ut = F.col("b_url_tokens_nostop")
+    else:
+        url_stop = sorted(URL_STOPWORDS)
+        a_ut = F.filter(F.col("a_url_tokens"), lambda t: ~t.isin(url_stop))
+        b_ut = F.filter(F.col("b_url_tokens"), lambda t: ~t.isin(url_stop))
 
     out = pair_rows.select(
         "url_a",
@@ -274,5 +311,6 @@ def featurize(
     occupation_closure: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     return compute_features(
-        assemble_pairs(pairs, sig), occupation_closure=occupation_closure
+        assemble_pairs(pairs, sig, occupation_closure=occupation_closure),
+        occupation_closure=occupation_closure,
     )

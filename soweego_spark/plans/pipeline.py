@@ -95,7 +95,9 @@ def run_pipeline(
     # the whole blocking stage would recompute for apply_rules.
     pairs.cache()
 
-    pair_rows = pf.assemble_pairs(pairs, sig)
+    pair_rows = pf.assemble_pairs(
+        pairs, sig, occupation_closure=cfg.occupation_closure
+    )
     features = stage(
         "features",
         lambda: pf.compute_features(
