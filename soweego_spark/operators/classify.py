@@ -147,8 +147,10 @@ def collect_training_matrix(
 
     The collect is bounded: |labeled pairs|, not |candidate pairs|.
     """
+    # Broadcast the labeled side: it is small by construction, so the big
+    # feature table is probed map-side instead of shuffled on the pair key.
     rows = (
-        labeled.join(features, ["url_a", "url_b"])
+        features.join(F.broadcast(labeled), ["url_a", "url_b"])
         .select(*FEATURE_COLUMNS, "label")
         .collect()
     )
@@ -234,18 +236,22 @@ def confusion_and_f1(predicted: DataFrame, labeled: DataFrame) -> dict:
     F1 is computed over the labeled pairs only (the BASELINE.json contract:
     labeled pairs share a blocking key, so blocking misses don't penalize).
     """
-    pred = predicted.select("url_a", "url_b").distinct().withColumn(
-        "hit", F.lit(1)
+    # labeled is the small side (annotation budget-bounded): broadcast it
+    # into an INNER join so the prediction table is probed map-side, never
+    # shuffled; fn falls out of the labeled positive total (one tiny agg).
+    pred = predicted.select("url_a", "url_b").distinct()
+    hits = pred.join(
+        F.broadcast(labeled.select("url_a", "url_b", "label")),
+        ["url_a", "url_b"],
     )
-    joined = labeled.select("url_a", "url_b", "label").join(
-        pred, ["url_a", "url_b"], "left"
-    )
-    row = joined.agg(
-        F.sum(((F.col("label") == 1) & F.col("hit").isNotNull()).cast("long")).alias("tp"),
-        F.sum(((F.col("label") == 1) & F.col("hit").isNull()).cast("long")).alias("fn"),
-        F.sum(((F.col("label") == 0) & F.col("hit").isNotNull()).cast("long")).alias("fp"),
+    row = hits.agg(
+        F.sum((F.col("label") == 1).cast("long")).alias("tp"),
+        F.sum((F.col("label") == 0).cast("long")).alias("fp"),
     ).first()
-    tp, fn, fp = int(row["tp"]), int(row["fn"]), int(row["fp"])
+    n_pos = labeled.filter(F.col("label") == 1).count()
+    tp = int(row["tp"] or 0)
+    fp = int(row["fp"] or 0)
+    fn = n_pos - tp
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = (

@@ -245,9 +245,16 @@ def _date_sim_expr(a, b):
     ).otherwise(F.coalesce(F.array_max(scores), F.lit(0.0)))
 
 
+RULE_COLUMNS = [
+    "a_name_tokens", "b_name_tokens", "a_urls", "b_urls",
+    "a_ext_ids", "b_ext_ids",
+]
+
+
 def compute_features(
     pair_rows: DataFrame,
     occupation_closure: dict[str, list[str]] | None = None,
+    carry_rule_cols: bool = False,
 ) -> DataFrame:
     """Wide pair rows -> (url_a, url_b, <FEATURE_COLUMNS...>), 0.0-filled.
 
@@ -255,6 +262,12 @@ def compute_features(
     pair-invariant pieces (stop-word-filtered URL tokens, closure-expanded
     occupations) per document; a fallback computes them per pair for rows
     assembled elsewhere.
+
+    ``carry_rule_cols=True`` additionally passes the M12 post-rule inputs
+    (RULE_COLUMNS) through to the output, so ``classify.apply_rules`` can
+    run directly on the (cached) feature table with NO re-join back to the
+    wide pair rows — caching the wide rows themselves costs more to
+    serialize than it saves (measured 28s vs 10s at 500k pairs).
     """
     band_words = sorted(simkernels.BAND_LOW_SCORE_WORDS)
 
@@ -275,9 +288,15 @@ def compute_features(
         a_ut = F.filter(F.col("a_url_tokens"), lambda t: ~t.isin(url_stop))
         b_ut = F.filter(F.col("b_url_tokens"), lambda t: ~t.isin(url_stop))
 
+    carried = (
+        [c for c in RULE_COLUMNS if c in pair_rows.columns]
+        if carry_rule_cols
+        else []
+    )
     out = pair_rows.select(
         "url_a",
         "url_b",
+        *carried,
         _exact_list_match(F.col("a_name"), F.col("b_name")).alias("name_exact"),
         _lev_max_expr(F.col("a_name_tokens"), F.col("b_name_tokens")).alias(
             "name_lev"

@@ -91,17 +91,20 @@ def run_pipeline(
             use_url_key=cfg.use_url_key,
         ),
     )
-    # pair_rows feeds BOTH featurize and the post-rule join; without a cache
-    # the whole blocking stage would recompute for apply_rules.
-    pairs.cache()
-
+    # ONE cached table serves training, scoring and the post rules: the
+    # feature table carries the M12 rule inputs (carry_rule_cols) so
+    # apply_rules needs no re-join against the wide pair rows. Caching the
+    # wide rows instead was measured strictly worse (28s to serialize the
+    # map/array columns vs 10s to featurize from lineage at 500k pairs).
     pair_rows = pf.assemble_pairs(
         pairs, sig, occupation_closure=cfg.occupation_closure
     )
     features = stage(
         "features",
         lambda: pf.compute_features(
-            pair_rows, occupation_closure=cfg.occupation_closure
+            pair_rows,
+            occupation_closure=cfg.occupation_closure,
+            carry_rule_cols=True,
         ),
     )
     features.cache()
@@ -112,7 +115,7 @@ def run_pipeline(
 
     scored = clf.apply_rules(
         clf.score(features, model),
-        pair_rows=pair_rows,
+        pair_rows=None,  # rule inputs already carried in the feature table
         name_rule=cfg.name_rule,
         url_rule=cfg.url_rule,
     )
