@@ -405,6 +405,156 @@ def score_broadcast(features: DataFrame, model) -> DataFrame:
     return features.withColumn("score", _score(F.struct(*cols)))
 
 
+# ------------------------------------------------------------- M4: SVC
+#
+# Reference: sklearn.svm.SVC with the libsvm RBF kernel and
+# probability=True (classifiers.py:229-253). No QP solver ships in this
+# container, so this is a from-scratch simplified SMO (Platt 1998) with a
+# deterministic sweep order, plus Platt sigmoid calibration for the
+# probability output. Training is driver-side over the labeled set (the
+# kernel matrix is |labeled|^2 — the same bound sklearn has); scoring uses
+# the broadcast pandas-UDF path with the support vectors in the closure.
+
+
+def _rbf_kernel(X1: np.ndarray, X2: np.ndarray, gamma: float) -> np.ndarray:
+    d = (
+        (X1 * X1).sum(axis=1)[:, None]
+        + (X2 * X2).sum(axis=1)[None, :]
+        - 2.0 * (X1 @ X2.T)
+    )
+    return np.exp(-gamma * np.maximum(d, 0.0))
+
+
+@dataclass
+class SVCModel:
+    """M4 fitted state: support vectors + duals + Platt sigmoid."""
+
+    features: list[str]
+    support_X: np.ndarray
+    support_alpha_y: np.ndarray  # alpha_i * y_i
+    bias: float
+    gamma: float
+    platt_a: float
+    platt_b: float
+    kind: str = "svc"
+
+    def decision_function(self, X: np.ndarray) -> np.ndarray:
+        K = _rbf_kernel(np.asarray(X, dtype=np.float64), self.support_X, self.gamma)
+        return K @ self.support_alpha_y + self.bias
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        f = self.decision_function(X)
+        z = np.clip(self.platt_a * f + self.platt_b, -35, 35)
+        return 1.0 / (1.0 + np.exp(z))
+
+
+def _platt_fit(f: np.ndarray, y: np.ndarray, iters: int = 50) -> tuple[float, float]:
+    """Platt scaling: fit P(y=1|f) = 1/(1+exp(A f + B)) by Newton descent
+    on the calibration NLL with Platt's label smoothing."""
+    n1, n0 = float(y.sum()), float(len(y) - y.sum())
+    t = np.where(y > 0, (n1 + 1.0) / (n1 + 2.0), 1.0 / (n0 + 2.0))
+    a, b = 0.0, float(np.log((n0 + 1.0) / (n1 + 1.0)))
+    for _ in range(iters):
+        z = np.clip(a * f + b, -35, 35)
+        p = 1.0 / (1.0 + np.exp(z))  # P(y=1)
+        # dNLL/d[a,b]; note p uses +exp(z) so dp/dz = -p(1-p)
+        g = p - t
+        ga, gb = (g * f).sum(), g.sum()
+        w = p * (1 - p)
+        haa = (w * f * f).sum() + 1e-9
+        hab = (w * f).sum()
+        hbb = w.sum() + 1e-9
+        det = haa * hbb - hab * hab
+        if abs(det) < 1e-12:
+            break
+        da = (hbb * ga - hab * gb) / det
+        db = (haa * gb - hab * ga) / det
+        a += da
+        b += db
+        if max(abs(da), abs(db)) < 1e-10:
+            break
+    return float(a), float(b)
+
+
+def train_svc(
+    X: np.ndarray,
+    y: np.ndarray,
+    features: list[str] = FEATURE_COLUMNS,
+    C: float = 1.0,
+    gamma: str | float = "scale",
+    tol: float = 1e-3,
+    max_passes: int = 5,
+    max_sweeps: int = 200,
+) -> SVCModel:
+    """Simplified SMO (deterministic sweep order + max-|E_i - E_j| second
+    choice) for the soft-margin RBF SVM, then Platt calibration on the
+    training decision values (sklearn defaults C=1.0, gamma='scale')."""
+    X = np.asarray(X, dtype=np.float64)
+    y01 = np.asarray(y, dtype=np.float64)
+    yy = np.where(y01 > 0, 1.0, -1.0)
+    n = len(yy)
+    if gamma == "scale":
+        var = X.var()
+        gamma = 1.0 / (X.shape[1] * var) if var > 0 else 1.0
+    K = _rbf_kernel(X, X, gamma)
+    alpha = np.zeros(n)
+    b = 0.0
+    passes = 0
+    sweeps = 0
+    while passes < max_passes and sweeps < max_sweeps:
+        changed = 0
+        sweeps += 1
+        E = K @ (alpha * yy) + b - yy
+        for i in range(n):
+            Ei = float(K[i] @ (alpha * yy) + b - yy[i])
+            if not (
+                (yy[i] * Ei < -tol and alpha[i] < C)
+                or (yy[i] * Ei > tol and alpha[i] > 0)
+            ):
+                continue
+            j = int(np.argmax(np.abs(E - Ei) + np.where(np.arange(n) == i, -np.inf, 0.0)))
+            Ej = float(K[j] @ (alpha * yy) + b - yy[j])
+            ai_old, aj_old = alpha[i], alpha[j]
+            if yy[i] != yy[j]:
+                lo, hi = max(0.0, aj_old - ai_old), min(C, C + aj_old - ai_old)
+            else:
+                lo, hi = max(0.0, ai_old + aj_old - C), min(C, ai_old + aj_old)
+            if lo >= hi:
+                continue
+            eta = 2.0 * K[i, j] - K[i, i] - K[j, j]
+            if eta >= 0:
+                continue
+            aj = np.clip(aj_old - yy[j] * (Ei - Ej) / eta, lo, hi)
+            if abs(aj - aj_old) < 1e-7:
+                continue
+            ai = ai_old + yy[i] * yy[j] * (aj_old - aj)
+            alpha[i], alpha[j] = ai, aj
+            b1 = b - Ei - yy[i] * (ai - ai_old) * K[i, i] - yy[j] * (aj - aj_old) * K[i, j]
+            b2 = b - Ej - yy[i] * (ai - ai_old) * K[i, j] - yy[j] * (aj - aj_old) * K[j, j]
+            if 0 < ai < C:
+                b = b1
+            elif 0 < aj < C:
+                b = b2
+            else:
+                b = (b1 + b2) / 2.0
+            E = K @ (alpha * yy) + b - yy
+            changed += 1
+        passes = passes + 1 if changed == 0 else 0
+    sv = alpha > 1e-9
+    model = SVCModel(
+        list(features),
+        X[sv].copy(),
+        (alpha * yy)[sv].copy(),
+        float(b),
+        float(gamma),
+        0.0,
+        0.0,
+    )
+    f = model.decision_function(X)
+    model.platt_a, model.platt_b = _platt_fit(f, y01)
+    return model
+
+
 # ------------------------------------------------------- M6/M7: SLP / MLP
 #
 # Reference: keras Sequential models (classifiers.py:296-358 SLP,
@@ -462,10 +612,12 @@ def train_slp(
     Xt, yt, Xv, yv = _val_split(X, y)
     rng = np.random.RandomState(seed)
     d = X.shape[1]
-    # glorot-uniform (keras Dense default), seeded
-    limit = np.sqrt(6.0 / (d + 1))
-    w = rng.uniform(-limit, limit, size=d + 1)
-    w[-1] = 0.0
+    # Zero init instead of keras' glorot-uniform: a single output unit has
+    # no symmetry to break, and starting at 0 (= logistic-regression
+    # start) converges in far fewer epochs than a random start, which can
+    # score below chance until Nadam walks it back (seen when used as the
+    # super-learner meta layer).
+    w = np.zeros(d + 1)
     b1, b2, eps = 0.9, 0.999, 1e-7
     m = np.zeros_like(w)
     v = np.zeros_like(w)
@@ -642,6 +794,20 @@ def train_mlp(
     return MLPModel(list(features), best)
 
 
+def _model_proba(m, X: np.ndarray) -> np.ndarray:
+    """Positive-class probability for any fitted model in this module."""
+    X = np.asarray(X, dtype=np.float64)
+    if hasattr(m, "predict_proba"):
+        return m.predict_proba(X)
+    Xm = X
+    if m.binarize is not None:
+        Xm = (X > m.binarize).astype(np.float64)
+    z = Xm @ m.weights + m.bias
+    if m.kind == "svm":
+        return (z > 0).astype(np.float64)
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+
+
 @dataclass
 class VotingModel:
     """M8 (reference classifiers.py:467-539): soft-voting ensemble —
@@ -653,21 +819,26 @@ class VotingModel:
 
     def predict_proba(self, X: np.ndarray) -> np.ndarray:
         X = np.asarray(X, dtype=np.float64)
-        probs = []
-        for m in self.members:
-            if hasattr(m, "predict_proba"):
-                probs.append(m.predict_proba(X))
-            else:
-                Xm = X
-                if m.binarize is not None:
-                    Xm = (X > m.binarize).astype(np.float64)
-                z = Xm @ m.weights + m.bias
-                probs.append(
-                    (z > 0).astype(np.float64)
-                    if m.kind == "svm"
-                    else 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
-                )
-        return np.mean(probs, axis=0)
+        return np.mean([_model_proba(m, X) for m in self.members], axis=0)
+
+
+def _ensemble_trainers(n_trees: int, seed: int, nn_epochs: int):
+    """The reference's 5 ensemble members (constants.py:297-303), as
+    (name, trainer) thunks over any (X, y) — feature names are positional
+    inside ensembles."""
+    def _feat(X):
+        return [f"x{i}" for i in range(np.asarray(X).shape[1])]
+
+    return [
+        ("nb", lambda X, y: train_naive_bayes(X, y, _feat(X))),
+        ("lr", lambda X, y: train_logistic(X, y, _feat(X))),
+        ("rf", lambda X, y: train_random_forest(
+            X, y, _feat(X), n_trees=n_trees, seed=seed)),
+        ("slp", lambda X, y: train_slp(
+            X, y, _feat(X), epochs=nn_epochs, seed=seed)),
+        ("mlp", lambda X, y: train_mlp(
+            X, y, _feat(X), epochs=nn_epochs, seed=seed)),
+    ]
 
 
 def train_voting(
@@ -689,4 +860,97 @@ def train_voting(
             train_slp(X, y, features, epochs=nn_epochs, seed=seed),
             train_mlp(X, y, features, epochs=nn_epochs, seed=seed),
         ],
+    )
+
+
+# --------------------------------------------- M9/M10: gated / stacked
+#
+# Reference: mlens SuperLearner (classifiers.py:542-660) — base layer(s) of
+# the 5 ensemble members produce OUT-OF-FOLD probabilities (2 folds,
+# GATED/STACKED_ENSEMBLE_PARAMS constants.py:405-409) which train an SLP
+# meta-learner; for inference the members are refit on the full layer
+# input. mlens is absent from this container, so the super-learner scheme
+# (Polley & van der Laan 2010) is reimplemented directly; one positive-class
+# probability column per member (the second binary-proba column mlens
+# passes is affinely redundant).
+
+
+@dataclass
+class SuperLearnerModel:
+    features: list[str]
+    layers: list  # list of lists of fitted members (refit on full input)
+    meta: LinearModel  # the SLP meta-learner
+    kind: str = "gated"
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        h = np.asarray(X, dtype=np.float64)
+        for layer in self.layers:
+            h = np.column_stack([_model_proba(m, h) for m in layer])
+        z = h @ self.meta.weights + self.meta.bias
+        return 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+
+
+def _oof_probs(
+    X: np.ndarray, y: np.ndarray, trainers, folds: int
+) -> np.ndarray:
+    """Out-of-fold member probabilities (n x members), deterministic
+    contiguous folds (mlens FoldIndex default is also unshuffled)."""
+    n = len(y)
+    oof = np.zeros((n, len(trainers)))
+    edges = np.linspace(0, n, folds + 1).astype(int)
+    for f in range(folds):
+        lo, hi = edges[f], edges[f + 1]
+        mask = np.ones(n, dtype=bool)
+        mask[lo:hi] = False
+        for j, (_, trainer) in enumerate(trainers):
+            m = trainer(X[mask], y[mask])
+            oof[lo:hi, j] = _model_proba(m, X[lo:hi])
+    return oof
+
+
+def _train_super_learner(
+    X, y, features, n_layers, folds, n_trees, seed, nn_epochs, kind
+) -> SuperLearnerModel:
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    trainers = _ensemble_trainers(n_trees, seed, nn_epochs)
+    layers, h = [], X
+    for _ in range(n_layers):
+        oof = _oof_probs(h, y, trainers, folds)
+        layers.append([trainer(h, y) for _, trainer in trainers])
+        h = oof
+    meta = train_slp(
+        h, y, [f"m{i}" for i in range(h.shape[1])],
+        epochs=nn_epochs, seed=seed,
+    )
+    return SuperLearnerModel(list(features), layers, meta, kind=kind)
+
+
+def train_gated(
+    X: np.ndarray,
+    y: np.ndarray,
+    features: list[str] = FEATURE_COLUMNS,
+    folds: int = 2,
+    n_trees: int = 50,
+    seed: int = 610,
+    nn_epochs: int = 300,
+) -> SuperLearnerModel:
+    """M9: one base layer -> SLP meta-learner over out-of-fold probs."""
+    return _train_super_learner(
+        X, y, features, 1, folds, n_trees, seed, nn_epochs, "gated"
+    )
+
+
+def train_stacked(
+    X: np.ndarray,
+    y: np.ndarray,
+    features: list[str] = FEATURE_COLUMNS,
+    folds: int = 2,
+    n_trees: int = 50,
+    seed: int = 610,
+    nn_epochs: int = 300,
+) -> SuperLearnerModel:
+    """M10: two stacked base layers -> SLP meta-learner."""
+    return _train_super_learner(
+        X, y, features, 2, folds, n_trees, seed, nn_epochs, "stacked"
     )

@@ -154,3 +154,44 @@ def test_voting_ensemble(spark, fixture_frames):
     # and scores identically through the broadcast UDF path
     scored = clf.score_broadcast(features, model)
     assert scored.filter("score >= 0.5").count() > 0
+
+
+def test_svc_quality_and_determinism(spark, fixture_frames):
+    """M4: from-scratch SMO RBF SVC with Platt probabilities separates the
+    e2e fixture and reproduces bit-identically (deterministic sweep)."""
+    _, features, labeled = fixture_frames
+    X, y = clf.collect_training_matrix(features, labeled)
+    m1 = clf.train_svc(X, y)
+    m2 = clf.train_svc(X, y)
+    np.testing.assert_array_equal(m1.support_alpha_y, m2.support_alpha_y)
+    assert (m1.platt_a, m1.platt_b) == (m2.platt_a, m2.platt_b)
+    p = m1.predict_proba(X)
+    assert (0 <= p).all() and (p <= 1).all()
+    pred = (p >= 0.5).astype(float)
+    tp = ((y == 1) & (pred == 1)).sum()
+    fp = ((y == 0) & (pred == 1)).sum()
+    fn = ((y == 1) & (pred == 0)).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.97, f1
+
+
+def test_gated_and_stacked_ensembles(spark, fixture_frames):
+    """M9/M10: super-learner ensembles (out-of-fold member probs -> SLP
+    meta layer) at least match the solo-logistic F1 on the fixture."""
+    _, features, labeled = fixture_frames
+    X, y = clf.collect_training_matrix(features, labeled)
+
+    def f1_of(p):
+        pred = (p >= 0.5).astype(float)
+        tp = ((y == 1) & (pred == 1)).sum()
+        fp = ((y == 0) & (pred == 1)).sum()
+        fn = ((y == 1) & (pred == 0)).sum()
+        return 2 * tp / (2 * tp + fp + fn)
+
+    for trainer in (clf.train_gated, clf.train_stacked):
+        model = trainer(X, y, n_trees=15, nn_epochs=120)
+        f1 = f1_of(model.predict_proba(X))
+        assert f1 >= 0.97, (trainer.__name__, f1)
+        # broadcast-scoring path accepts it (predict_proba contract)
+        scored = clf.score_broadcast(features, model)
+        assert "score" in scored.columns
