@@ -37,7 +37,7 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoints", default=None)
     ap.add_argument("--classifier", default="logistic",
-                    choices=["logistic", "naive_bayes", "svm"])
+                    choices=["logistic", "naive_bayes", "svm", "slp"])
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--top-k", type=int, default=5)
     ap.add_argument("--synthetic", type=int, default=0,

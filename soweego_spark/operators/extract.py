@@ -36,6 +36,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -225,6 +226,23 @@ def _extract_one(url, html, text, formatters):
         desc_terms,
         desc_norm,
     )
+
+
+def drop_all_null_columns(df: DataFrame) -> DataFrame:
+    """P1 (reference workflow.py:630-632 ``dropna(axis=1, how='all')``):
+    drop columns whose every value is null.
+
+    Spark schemas are static, so this is a two-step plan: ONE aggregate
+    pass counting non-nulls per column (a single map-side-combinable job —
+    no per-column scans), then a projection of the surviving columns.
+    Downstream feature guards stay null-safe either way; this operator is
+    for sink hygiene, where the reference uses it.
+    """
+    counts = df.agg(
+        *[F.count(F.col(c)).alias(c) for c in df.columns]
+    ).first()
+    keep = [c for c in df.columns if counts[c] > 0]
+    return df.select(*keep)
 
 
 def extract_signatures(pages: DataFrame, formatters=None) -> DataFrame:

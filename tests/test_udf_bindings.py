@@ -153,3 +153,17 @@ def test_extract_emits_ext_ids_and_url_rule_fires(spark):
     # rule would NOT fire; the external-id rule must.
     out = apply_rules(scored, pair_rows=pair_rows, name_rule=False).collect()
     assert out[0]["score"] == 1.0
+
+
+def test_drop_all_null_columns(spark):
+    """P1: columns that are entirely null disappear; others survive —
+    including all-null ARRAY/STRUCT columns (one aggregate pass)."""
+    from soweego_spark.operators.extract import drop_all_null_columns
+
+    df = spark.createDataFrame(
+        [(1, None, None, ["x"]), (2, None, "a", None)],
+        "id long, dead string, alive string, arr array<string>",
+    )
+    out = drop_all_null_columns(df)
+    assert out.columns == ["id", "alive", "arr"]
+    assert out.count() == 2
