@@ -32,6 +32,10 @@ Operator coverage map (SURVEY.md §2 -> query):
   text  token counting                                -> token_count
   text  document fingerprint                          -> doc_fingerprint
   strm  event-time windowed aggregation               -> windowed_events
+  F5    external-id extraction (formatter catalog)     -> external_id_extraction
+  SO2   bio claim/date validation (greedy matching)    -> bio_validation,
+                                                         bio_dates_validation
+  P7    URL domain blacklist anti join                 -> url_blacklist
 
 The full record-linkage pipeline (blocking + features + classifier + CC
 clustering over the synthetic pages table) is exercised by the pytest suite
@@ -1263,6 +1267,119 @@ _Q_BIO_VALIDATION_SQL = """
 """
 
 
+def q_url_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (reference checks.py:687-703): drop statements whose URL domain
+    is blacklisted — broadcast anti join on the parsed domain instead of
+    the reference's O(n*m) substring loop. URLs synthesized from doc_id
+    (same catalog hosts as external_id_extraction)."""
+    from soweego_spark.operators.validator import url_blacklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    mod = F.col("doc_id") % 4
+    url = (
+        F.when(mod == 0, F.concat(F.lit("https://catalog-a.example/artist/a-"), sid))
+        .when(mod == 1, F.concat(F.lit("https://www.spam-mirror.example/x/"), sid))
+        .when(mod == 2, F.concat(F.lit("https://id-hub.example/artist/g-"), sid))
+        .otherwise(F.concat(F.lit("https://linkfarm.example/p/"), sid))
+    )
+    stmts = docs.select("doc_id", url.alias("url"))
+    return url_blacklist_filter(
+        stmts, ["spam-mirror.example", "linkfarm.example"]
+    )
+
+
+_Q_URL_BLACKLIST_SQL = """
+    WITH stmts AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://catalog-a.example/artist/a-' || doc_id
+                 WHEN 1 THEN 'https://www.spam-mirror.example/x/' || doc_id
+                 WHEN 2 THEN 'https://id-hub.example/artist/g-' || doc_id
+                 ELSE 'https://linkfarm.example/p/' || doc_id
+               END AS url
+        FROM documents
+    )
+    SELECT doc_id, url FROM stmts
+    WHERE lower(regexp_extract(url, '^[a-z]+://(?:www\\.)?([^/:]+)', 1))
+          NOT IN ('spam-mirror.example', 'linkfarm.example')
+"""
+
+
+def q_bio_dates_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO2, dates half (checks.py:818-937): greedy first-match-wins pairing
+    of date statements on shared precision (F7), via the same two ranked
+    windows as the claims matcher. wd dates come from even orders (depth
+    by orderkey thirds: year/month/day precision), target dates from odd
+    lineitem ship dates of the same customer."""
+    from soweego_spark.operators.validator import match_bio_dates
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    wd = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_custkey").alias("tid"),
+        F.col("o_orderkey").alias("wd_idx"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        (F.col("o_orderkey") % 3).cast("int").alias("depth"),
+    )
+    tgt = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_orderkey") % 2 == 1)
+        .select(
+            F.col("o_custkey").alias("tid"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("t_idx"),
+            F.year("l_shipdate").alias("y"),
+            F.month("l_shipdate").alias("mo"),
+            F.dayofmonth("l_shipdate").alias("d"),
+            (F.col("l_linenumber") % 3).cast("int").alias("depth"),
+        )
+    )
+    return match_bio_dates(wd, tgt)
+
+
+_Q_BIO_DATES_SQL = """
+    WITH wd AS (
+        SELECT o_custkey AS tid, o_orderkey AS wd_idx,
+               year(o_orderdate) AS y, month(o_orderdate) AS mo,
+               day(o_orderdate) AS d, (o_orderkey % 3)::INT AS depth
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    tgt AS (
+        SELECT o.o_custkey AS tid,
+               l.l_orderkey * 10 + l.l_linenumber AS t_idx,
+               year(l.l_shipdate) AS y, month(l.l_shipdate) AS mo,
+               day(l.l_shipdate) AS d, (l.l_linenumber % 3)::INT AS depth
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey % 2 = 1
+    ),
+    cand AS (
+        SELECT wd.tid, wd.wd_idx, tgt.t_idx,
+               least(wd.depth, tgt.depth) AS shared_depth
+        FROM wd JOIN tgt ON wd.tid = tgt.tid
+        WHERE wd.y = tgt.y
+          AND (least(wd.depth, tgt.depth) < 1 OR wd.mo = tgt.mo)
+          AND (least(wd.depth, tgt.depth) < 2 OR wd.d = tgt.d)
+    ),
+    r1 AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY tid, wd_idx ORDER BY t_idx) AS rn1
+        FROM cand
+    ),
+    r2 AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY tid, t_idx ORDER BY wd_idx) AS rn2
+        FROM r1 WHERE rn1 = 1
+    )
+    SELECT tid, wd_idx, t_idx, shared_depth FROM r2 WHERE rn2 = 1
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1317,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "external_id_extraction": q_external_id_extraction,
         "bio_validation": q_bio_validation,
+        "url_blacklist": q_url_blacklist,
+        "bio_dates_validation": q_bio_dates_validation,
     }
 
 
@@ -1353,4 +1472,6 @@ def oracle_sql() -> dict[str, str]:
         "windowed_events": _Q_WINDOWED_EVENTS_SQL,
         "external_id_extraction": _Q_EXTERNAL_ID_SQL,
         "bio_validation": _Q_BIO_VALIDATION_SQL,
+        "url_blacklist": _Q_URL_BLACKLIST_SQL,
+        "bio_dates_validation": _Q_BIO_DATES_SQL,
     }

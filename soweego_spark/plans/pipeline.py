@@ -79,6 +79,14 @@ def run_pipeline(
         return checkpointer.stage(name, {**base_cfg, **(extra or {})}, thunk)
 
     sig = stage("signatures", lambda: extract_signatures(pages))
+    # Lazy cache, deliberately: five consumers (three blocking key
+    # families + both pair-assembly sides) race through the uncached
+    # extract inside the first action, duplicating some Python extraction —
+    # but the duplicated scans overlap on otherwise-idle cores, and an
+    # eager `.count()` barrier measured consistently SLOWER in fresh-JVM
+    # interleaved A/Bs (eager 32s stable vs lazy ~28s mean at 2000
+    # entities). On a real cluster with a persisted signatures stage
+    # (checkpointer) the question disappears.
     sig.cache()
 
     pairs = stage(
