@@ -1267,6 +1267,53 @@ _Q_BIO_VALIDATION_SQL = """
 """
 
 
+def q_three_way_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (reference workflow.py:155-179): the base ⟕ link ⟕ nlp outer
+    join — the entity spine left-joined to two per-entity aggregate
+    tables, keeping spine rows with no counterpart (the reference's
+    SQLAlchemy outerjoin chain as two left joins; Catalyst picks
+    broadcast/SMJ by size)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+
+    link = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+    )
+    nlp = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    return (
+        cust.select("c_custkey", "c_nationkey")
+        .join(link, cust.c_custkey == link.o_custkey, "left")
+        .join(nlp, cust.c_custkey == nlp.user_id, "left")
+        .select(
+            "c_custkey", "c_nationkey",
+            "n_orders", "total_spent", "n_events", "avg_value",
+        )
+    )
+
+
+_Q_THREE_WAY_SQL = """
+    WITH link AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spent
+        FROM orders GROUP BY o_custkey
+    ),
+    nlp AS (
+        SELECT user_id, count(*) AS n_events,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY user_id
+    )
+    SELECT c_custkey, c_nationkey, n_orders, total_spent, n_events, avg_value
+    FROM customer
+    LEFT JOIN link ON c_custkey = o_custkey
+    LEFT JOIN nlp ON c_custkey = user_id
+"""
+
+
 def q_url_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 (reference checks.py:687-703): drop statements whose URL domain
     is blacklisted — broadcast anti join on the parsed domain instead of
@@ -1436,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bio_validation": q_bio_validation,
         "url_blacklist": q_url_blacklist,
         "bio_dates_validation": q_bio_dates_validation,
+        "three_way_outer_join": q_three_way_outer_join,
     }
 
 
@@ -1474,4 +1522,5 @@ def oracle_sql() -> dict[str, str]:
         "bio_validation": _Q_BIO_VALIDATION_SQL,
         "url_blacklist": _Q_URL_BLACKLIST_SQL,
         "bio_dates_validation": _Q_BIO_DATES_SQL,
+        "three_way_outer_join": _Q_THREE_WAY_SQL,
     }

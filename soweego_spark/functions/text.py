@@ -80,3 +80,25 @@ def tokenize_values(col: pd.Series) -> pd.Series:
 def sorted_set(col):
     """JVM-side dedup+sort of an array column: deterministic set encoding."""
     return F.array_sort(F.array_distinct(col))
+
+
+def flatten_deep(df, col: str):
+    """F12 (reference features.py:611-625 ``SharedTokensPlus._flatten``):
+    flatten an arbitrarily nested array column to a flat array.
+
+    The reference flattens dynamically-typed Python lists with a stack;
+    Spark array nesting depth is static in the schema, so "arbitrary
+    depth" resolves at PLAN time: apply ``F.flatten`` once per nesting
+    level read from the column's dataType — still zero Python at runtime
+    for any depth.
+    """
+    from pyspark.sql.types import ArrayType
+
+    dt = df.schema[col].dataType
+    expr = F.col(col)
+    if not isinstance(dt, ArrayType):
+        raise TypeError(f"column {col!r} is {dt}, not an array")
+    while isinstance(dt.elementType, ArrayType):
+        expr = F.flatten(expr)
+        dt = dt.elementType
+    return expr

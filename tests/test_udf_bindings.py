@@ -167,3 +167,25 @@ def test_drop_all_null_columns(spark):
     out = drop_all_null_columns(df)
     assert out.columns == ["id", "alive", "arr"]
     assert out.count() == 2
+
+
+def test_flatten_deep_any_depth(spark):
+    """F12: plan-time recursion flattens any statically-nested array."""
+    from soweego_spark.functions.text import flatten_deep
+
+    df = spark.createDataFrame(
+        [([[["a", "b"], ["c"]], [["d"]]],), ([[[]]],)],
+        "nested array<array<array<string>>>",
+    )
+    [r1, r2] = df.select(flatten_deep(df, "nested").alias("flat")).collect()
+    assert list(r1["flat"]) == ["a", "b", "c", "d"]
+    assert list(r2["flat"]) == []
+
+    flat_in = spark.createDataFrame([(["x"],)], "arr array<string>")
+    [r] = flat_in.select(flatten_deep(flat_in, "arr").alias("f")).collect()
+    assert list(r["f"]) == ["x"]
+
+    import pytest
+
+    with pytest.raises(TypeError):
+        flatten_deep(spark.createDataFrame([(1,)], "i long"), "i")
