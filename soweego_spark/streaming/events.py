@@ -87,6 +87,39 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_neardup_filter(
+    pages: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    num_hashes: int = 12,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Ingestion-side NEAR-duplicate suppression: drop a stream document
+    when its full MinHash signature (over char shingles, the same
+    JVM-side signature as blocking.lsh_blocking) was already seen within
+    the watermark.
+
+    Full-signature equality is the conservative streaming trade: it
+    admits only near-certain duplicates (all ``num_hashes`` minima agree
+    — overwhelmingly high Jaccard), needs no self-join (impossible
+    incrementally), and bounds state via the watermark. Candidates below
+    that bar flow through to the batch LSH pass — stream filter + batch
+    sweep is the standard two-tier dedup at lake scale.
+    """
+    from soweego_spark.operators.blocking import minhash_signature, shingles
+
+    sig = minhash_signature(
+        shingles(F.lower(F.col(text_col)), shingle_size), num_hashes
+    )
+    keyed = pages.withColumn(
+        "sig_key", F.xxhash64(F.concat_ws(",", sig.cast("array<string>")))
+    )
+    return keyed.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(["sig_key"])
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -169,3 +169,36 @@ def test_streaming_extraction_matches_batch(spark, tmpdir):
         assert got == batch_out and len(got) == len(fx.pages)
     finally:
         q.stop()
+
+
+def test_streaming_neardup_filter(spark, tmpdir):
+    """Near-identical documents (same minhash signature) collapse to one
+    stream output row within the watermark; distinct docs pass through."""
+    from soweego_spark.streaming.events import streaming_neardup_filter
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [
+        (1, base, "2024-01-01 00:00:00"),
+        (2, base, "2024-01-01 00:10:00"),                 # exact dup: dropped
+        (3, base, "2024-01-01 00:20:00"),                 # exact dup: dropped
+        (4, "completely different text about spark joins", "2024-01-01 00:30:00"),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+    src = src.select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+    src.write.parquet(f"{tmpdir}/src")
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .parquet(f"{tmpdir}/src")
+    )
+    name = f"neardup_{uuid.uuid4().hex[:8]}"
+    q = _start(streaming_neardup_filter(stream), name)
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r["doc_id"] for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        # one representative of the near-dup family + the distinct doc
+        assert len(got) == 2 and 4 in got and got[0] in (1, 2, 3)
+    finally:
+        q.stop()
