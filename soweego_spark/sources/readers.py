@@ -99,12 +99,40 @@ def write_links_csv(
 
 
 def write_partitioned_parquet(
-    df: DataFrame, path: str, partition_cols: list[str], buckets: int | None = None
+    df: DataFrame, path: str, partition_cols: list[str]
 ) -> None:
     """S9 analogue: columnar sink partitioned for downstream pruning —
     at 100 TB the signatures table is written partitioned by e.g.
     crawl date / lang so blocking scans prune."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 256,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed sink for co-located joins: two tables bucketed on the same
+    key with the same bucket count join with NO shuffle on either side —
+    at 10^12 rows this is how the signatures table and the candidate-pair
+    table are laid out so the repeated pair-assembly joins (url_a / url_b)
+    never reshuffle the signatures.
+
+    Bucketing requires the table catalog (``saveAsTable``); plain
+    ``.parquet(path)`` cannot record bucket metadata. ``sort_cols``
+    additionally sorts within buckets, upgrading the join to a
+    merge-without-sort.
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
 
 
 def read_jdbc(

@@ -123,3 +123,45 @@ def test_jdbc_scan_options_requires_full_bounds():
 
     with pytest.raises(ValueError):
         jdbc_scan_options("jdbc:x", "t", partition_column="id")
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmpdir):
+    """Two tables bucketed on the same key join with no shuffle exchange
+    on either side (the co-located-join layout for the pair-assembly
+    joins at scale)."""
+    from pyspark.sql import functions as F
+
+    from soweego_spark.sources.readers import write_bucketed_table
+
+    left = spark.range(0, 1000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") * 2).alias("a"),
+    )
+    right = spark.range(0, 1000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") * 3).alias("b"),
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+    write_bucketed_table(
+        left, "bt_left", ["url"], n_buckets=8, sort_cols=["url"],
+        path=f"{tmpdir}/bt_left",
+    )
+    write_bucketed_table(
+        right, "bt_right", ["url"], n_buckets=8, sort_cols=["url"],
+        path=f"{tmpdir}/bt_right",
+    )
+    try:
+        # merge hint: at test size the planner would broadcast (which also
+        # avoids a shuffle but doesn't exercise the bucket layout); at
+        # production size SMJ is what the planner picks on its own.
+        j = spark.table("bt_left").hint("merge").join(
+            spark.table("bt_right").hint("merge"), "url"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
