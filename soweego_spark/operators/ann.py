@@ -283,6 +283,90 @@ def _kmeans_fit(
     return cent
 
 
+def kmeans_distributed(
+    emb: DataFrame,
+    n_centroids: int,
+    seed: int = 61,
+    iters: int = 10,
+    init_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Fully distributed Lloyd k-means on normalized vectors: the TABLE
+    never leaves the executors. Per iteration: cell assignment streams
+    through a broadcast-centroid mapInPandas (one BLAS matmul per Arrow
+    batch), the centroid update is ``posexplode -> groupBy(cell, pos) ->
+    avg`` (map-side combinable), and only the k x dim mean matrix is
+    collected. Init centroids come from a bounded deterministic sample
+    (``_fit_sample``).
+
+    Returns the (<=k, dim) centroid matrix, rows L2-normalized.
+    Deterministic: seeded init + deterministic float aggregation order is
+    NOT guaranteed by Spark's avg (parallel sum), so round-trip stability
+    is at the 1e-12 level — assignments are stable unless a vector sits
+    exactly between centroids.
+    """
+    spark = emb.sparkSession
+    _, init_mat = _collect_matrix(
+        _fit_sample(emb, id_col, vec_col, init_sample), id_col, vec_col
+    )
+    rng = np.random.RandomState(seed)
+    normed = init_mat / _norm_rows(init_mat)[:, None]
+    idx = rng.choice(
+        len(normed), size=min(n_centroids, len(normed)), replace=False
+    )
+    cent = normed[idx].copy()
+
+    from pyspark.sql.types import ArrayType
+
+    # Emit the NORMALIZED vector: the centroid is the mean of normalized
+    # members (same semantics as the driver-side _kmeans_fit).
+    cell_schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField(vec_col, ArrayType(DoubleType())),
+        ]
+    )
+    for _ in range(iters):
+        b_cent = spark.sparkContext.broadcast(cent)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = b_cent.value
+            for pdf in batches:
+                v = np.array(list(pdf[vec_col]), dtype=np.float64)
+                if len(v) == 0:
+                    continue
+                vn = v / _norm_rows(v)[:, None]
+                yield pd.DataFrame(
+                    {
+                        "cell": np.argmax(vn @ c.T, axis=1).astype(np.int32),
+                        vec_col: list(vn),
+                    }
+                )
+
+        assigned = emb.select(vec_col).mapInPandas(assign, schema=cell_schema)
+        sums = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = cent.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for c_id, comps in by_cell.items():
+            m = np.array([comps[p] for p in sorted(comps)])
+            n = np.linalg.norm(m)
+            if n > 0:
+                new[c_id] = m / n
+        cent = new
+        b_cent.destroy()
+    return cent
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -295,6 +379,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_to: int | None = 4,
     fit_cap: int = 100_000,
+    fit: str = "sample",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means cells as the
     blocking key, exact cosine inside the ``n_probe`` nearest cells.
@@ -302,15 +387,25 @@ def ivf_topk(
     ``n_probe == n_centroids`` degrades to exact brute force (tested
     invariant). At 10^12 vectors the cell assignment is the partition key:
     each cell's members are co-located, a query touches n_probe partitions,
-    and the centroid table is a tiny broadcast. The k-means fit only ever
-    sees a ``fit_cap``-bounded deterministic sample (see ``_fit_sample``) —
-    the driver never collects the full table.
+    and the centroid table is a tiny broadcast.
+
+    ``fit="sample"`` (default) fits centroids driver-side on a
+    ``fit_cap``-bounded deterministic sample (see ``_fit_sample``) — the
+    driver never collects the full table. ``fit="distributed"`` runs
+    :func:`kmeans_distributed` instead: every vector participates in the
+    fit, only k x dim aggregates reach the driver (the full-lake option).
     """
     spark = emb.sparkSession
-    _, mat = _collect_matrix(
-        _fit_sample(emb, id_col, vec_col, fit_cap), id_col, vec_col
-    )
-    cent = _kmeans_fit(mat, n_centroids, seed, kmeans_iters)
+    if fit == "distributed":
+        cent = kmeans_distributed(
+            emb, n_centroids, seed=seed, iters=kmeans_iters,
+            init_sample=fit_cap, id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        _, mat = _collect_matrix(
+            _fit_sample(emb, id_col, vec_col, fit_cap), id_col, vec_col
+        )
+        cent = _kmeans_fit(mat, n_centroids, seed, kmeans_iters)
     b_cent = spark.sparkContext.broadcast(cent)
 
     cell_schema = StructType(

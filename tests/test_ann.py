@@ -177,3 +177,49 @@ def test_ivf_fit_sample_is_bounded(emb):
         fit_cap=cap,
     )
     assert out.count() > 0
+
+
+def test_distributed_kmeans_and_ivf(emb):
+    """kmeans_distributed improves inertia over its init and ivf_topk with
+    fit='distributed' keeps the full-probe == brute-force invariant."""
+    import numpy as np
+
+    from soweego_spark.operators.ann import (
+        _collect_matrix,
+        _fit_sample,
+        _norm_rows,
+        ivf_topk,
+        kmeans_distributed,
+    )
+
+    cent = kmeans_distributed(emb, n_centroids=6, iters=5, init_sample=50)
+    assert cent.shape[1] == 64
+    np.testing.assert_allclose(_norm_rows(cent), 1.0, atol=1e-9)
+
+    _, mat = _collect_matrix(emb, "vec_id", "embedding")
+    normed = mat / _norm_rows(mat)[:, None]
+
+    def inertia(c):
+        return float((1.0 - (normed @ c.T).max(axis=1)).sum())
+
+    # init = the same seeded sample pick the function starts from
+    rng = np.random.RandomState(61)
+    _, init_mat = _collect_matrix(
+        _fit_sample(emb, "vec_id", "embedding", 50), "vec_id", "embedding"
+    )
+    init_n = init_mat / _norm_rows(init_mat)[:, None]
+    idx = rng.choice(len(init_n), size=6, replace=False)
+    assert inertia(cent) <= inertia(init_n[idx]) + 1e-9
+
+    brute = {
+        (r["query_id"], r["rn"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(emb, emb.filter("vec_id < 8"), k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rn"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk(
+            emb, emb.filter("vec_id < 8"), k=3,
+            n_centroids=6, n_probe=6, fit="distributed", kmeans_iters=3,
+        ).collect()
+    }
+    assert ivf == brute
