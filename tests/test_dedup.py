@@ -287,3 +287,34 @@ def test_md5_family_matches_python_and_finds_planted(spark):
         ).collect()
     }
     assert (1, 4) in fp and not any(3 in p for p in fp)
+
+
+def test_md5_60_cross_engine_property(spark):
+    """Property: for arbitrary unicode strings, the md5_60 hash agrees
+    byte-for-byte across Spark, DuckDB and Python hashlib — the invariant
+    the driver's exact dedup oracles rest on."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from soweego_spark.operators.dedup import md5_60, md5_60_py
+
+    con = duckdb.connect()
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.text(min_size=0, max_size=40).filter(lambda s: "\x00" not in s))
+    def check(s):
+        py = md5_60_py(s)
+        [duck] = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()
+        assert duck == py
+
+    check()
+    # Spark side once over a sampled batch (per-example Spark jobs are slow)
+    vals = ["", "a", "héllo wörld", "ψυχή", "x" * 40, "tab\tsep", "emoji 🎸"]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = [r["h"] for r in df.select(md5_60(F.col("t")).alias("h")).collect()]
+    assert got == [md5_60_py(v) for v in vals]

@@ -158,3 +158,46 @@ def test_match_bio_claims_no_double_consumption(spark):
         for r in match_bio_claims(wd, tgt).collect()
     ]
     assert got == [(0, 0)]
+
+
+def test_sync_job_synthetic_outputs(spark):
+    """The sync job's four checks produce the planted counts on its
+    deterministic synthetic fixture (same logic spark-submit runs)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from jobs.sync_job import _synthetic_inputs
+    from soweego_spark.functions.text import norm_lower
+    from soweego_spark.operators.validator import (
+        dead_ids,
+        match_bio_claims,
+        match_bio_dates,
+        validate_links,
+    )
+
+    wd, tgt = _synthetic_inputs(spark, 300)
+    links = validate_links(wd.select("tid", "urls"), tgt.select("tid", "urls"))
+    assert links.count() == 200            # 2/3 of ids exist in the target
+    assert links.filter("deprecate").count() == 100   # odd ids share no URL
+
+    assert dead_ids(wd.select("tid"), tgt.select("tid")).count() == 100
+
+    wd_dates = wd.select("tid", F.explode("dates").alias("d")).select(
+        "tid", F.col("d.idx").alias("wd_idx"), "d.y", "d.mo", "d.d", "d.depth"
+    )
+    t_dates = tgt.select("tid", F.explode("dates").alias("d")).select(
+        "tid", F.col("d.idx").alias("t_idx"), "d.y", "d.mo", "d.d", "d.depth"
+    )
+    assert match_bio_dates(wd_dates, t_dates).count() == 200  # year agrees
+
+    wd_claims = wd.select("tid", F.explode("claims").alias("c")).select(
+        "tid", F.col("c.idx").alias("wd_idx"), "c.pid", "c.qid", "c.values"
+    )
+    t_claims = tgt.select("tid", F.explode("statements").alias("s")).select(
+        "tid", F.col("s.idx").alias("t_idx"), F.col("s.pid"),
+        norm_lower(F.col("s.value")).alias("t_value"),
+    )
+    # even ids carry 'Singer' -> normalized 'singer' ∈ wd label set
+    assert match_bio_claims(wd_claims, t_claims).count() == 100
