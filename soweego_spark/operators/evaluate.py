@@ -51,14 +51,9 @@ def kfold_scores(
     for f in range(k):
         test = folds == f
         model = trainer(X[~test], y[~test])
-        z = X[test] @ model.weights + model.bias
-        if model.binarize is not None:
-            z = (X[test] > model.binarize).astype(float) @ model.weights + model.bias
-        pred = (
-            (z > 0).astype(float)
-            if model.kind == "svm"
-            else 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
-        )
+        # _model_proba handles every model family in classify.py (linear
+        # column models, forest, MLP, SVC, voting/super-learner ensembles).
+        pred = clf._model_proba(model, X[test])
         hit = pred >= threshold
         ftp = int(((y[test] == 1) & hit).sum())
         ffp = int(((y[test] == 0) & hit).sum())
@@ -121,20 +116,7 @@ def grid_search(
         for f in range(k):
             test = folds == f
             model = trainer(X[~test], y[~test], **params)
-            if hasattr(model, "predict_proba"):
-                pred = model.predict_proba(X[test])
-            else:
-                z = X[test] @ model.weights + model.bias
-                if model.binarize is not None:
-                    z = (
-                        (X[test] > model.binarize).astype(float) @ model.weights
-                        + model.bias
-                    )
-                pred = (
-                    (z > 0).astype(float)
-                    if model.kind == "svm"
-                    else 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
-                )
+            pred = clf._model_proba(model, X[test])
             hit = pred >= threshold
             tp += int(((y[test] == 1) & hit).sum())
             fp += int(((y[test] == 0) & hit).sum())

@@ -195,3 +195,19 @@ def test_gated_and_stacked_ensembles(spark, fixture_frames):
         # broadcast-scoring path accepts it (predict_proba contract)
         scored = clf.score_broadcast(features, model)
         assert "score" in scored.columns
+
+
+def test_kfold_accepts_every_model_family(spark, fixture_frames):
+    """M11's k-fold harness evaluates linear, forest, neural, SVC and
+    ensemble trainers through one probability interface."""
+    _, features, labeled = fixture_frames
+    trainers = [
+        clf.train_logistic,
+        clf.train_naive_bayes,
+        lambda X, y: clf.train_random_forest(X, y, n_trees=10),
+        lambda X, y: clf.train_slp(X, y, epochs=80),
+        lambda X, y: clf.train_svc(X, y),
+    ]
+    for t in trainers:
+        out = ev.kfold_scores(features, labeled, k=3, trainer=t)
+        assert out["f1"] >= 0.9, out
