@@ -1267,6 +1267,60 @@ _Q_BIO_VALIDATION_SQL = """
 """
 
 
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar/Trenkle-style n-gram language ID: per-lang char-trigram
+    profiles learned from the labeled corpus, documents assigned the
+    argmax integer profile dot product (operators/langid.py). The
+    documents table's lang labels are synthetic noise, so accuracy is
+    meaningless here — the oracle checks the COMPUTATION exactly."""
+    from soweego_spark.operators.langid import (
+        classify_languages,
+        train_lang_profiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    profiles = train_lang_profiles(docs, top_k=50)
+    return classify_languages(docs, profiles)
+
+
+_Q_LANG_NGRAM_SQL = """
+    WITH grams AS (
+        SELECT doc_id, lang,
+               unnest([substr(lower(text), i, 3)
+                       FOR i IN range(1, greatest(len(text) - 2, 1) + 1)])
+                   AS tg
+        FROM documents
+    ),
+    prof_counts AS (
+        SELECT lang, tg, count(*) AS prof_cnt
+        FROM grams GROUP BY lang, tg
+    ),
+    profiles AS (
+        SELECT lang, tg, prof_cnt FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY prof_cnt DESC, tg ASC) AS rn
+            FROM prof_counts
+        ) WHERE rn <= 50
+    ),
+    doc_counts AS (
+        SELECT doc_id, tg, count(*) AS doc_cnt
+        FROM grams GROUP BY doc_id, tg
+    ),
+    scored AS (
+        SELECT d.doc_id, p.lang, sum(d.doc_cnt * p.prof_cnt) AS score
+        FROM doc_counts d JOIN profiles p USING (tg)
+        GROUP BY d.doc_id, p.lang
+    )
+    SELECT doc_id, lang AS predicted_lang, score FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score DESC, lang ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+"""
+
+
 def q_three_way_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 (reference workflow.py:155-179): the base ⟕ link ⟕ nlp outer
     join — the entity spine left-joined to two per-entity aggregate
@@ -1484,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blacklist": q_url_blacklist,
         "bio_dates_validation": q_bio_dates_validation,
         "three_way_outer_join": q_three_way_outer_join,
+        "lang_id_ngram": q_lang_id_ngram,
     }
 
 
@@ -1523,4 +1578,5 @@ def oracle_sql() -> dict[str, str]:
         "url_blacklist": _Q_URL_BLACKLIST_SQL,
         "bio_dates_validation": _Q_BIO_DATES_SQL,
         "three_way_outer_join": _Q_THREE_WAY_SQL,
+        "lang_id_ngram": _Q_LANG_NGRAM_SQL,
     }

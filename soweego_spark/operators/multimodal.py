@@ -161,6 +161,61 @@ def decode_image_features(
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", BinaryType()),  # raw HxWx3 uint8, row-major
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    decoder: str = "stub",
+) -> DataFrame:
+    """image rows -> fixed-size raw pixel buffers (the resize step of a
+    training-data image pipeline; downstream consumers get uniform
+    ``target_h x target_w x 3`` tensors regardless of source size).
+
+    The stub decodes via ``_fake_decode_image`` and resamples with
+    vectorized nearest-neighbor indexing (pure numpy — the same
+    index-grid code drives a real decoder's output; swapping in
+    Pillow changes only the decode call).
+    """
+    if decoder == "real":  # pragma: no cover — codec libs absent by design
+        raise NotImplementedError("real image decoding needs Pillow")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
+                w = int(meta["width"] or 8)
+                h = int(meta["height"] or 8)
+                img = _fake_decode_image(bytes(content or b""), w, h)
+                # nearest-neighbor grid: source index per target pixel
+                ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                resized = img[ys[:, None], xs[None, :], :]
+                out.append(
+                    (asset_id, target_w, target_h, resized.tobytes())
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("asset_id", "content", "meta")
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+    )
+
+
 def audio_frame_energy(
     media: DataFrame, frame_bytes: int = 1024, decoder: str = "stub"
 ) -> DataFrame:

@@ -87,3 +87,36 @@ def test_real_decoder_gated(spark, media):
         audio_frame_energy(media, decoder="real")
     with pytest.raises(NotImplementedError):
         sample_video_frames(media, decoder="real")
+
+
+def test_resize_images_shape_and_replay(spark):
+    """Every image resizes to the target tensor shape, and the pixel
+    buffer replays exactly from the same stub decode + NN grid in numpy."""
+    import numpy as np
+
+    from soweego_spark.operators.multimodal import (
+        _fake_decode_image,
+        generate_media_fixture,
+        resize_images,
+    )
+
+    media = generate_media_fixture(spark, n_assets=12, seed=7)
+    tw, th = 16, 16
+    got = {
+        r["asset_id"]: (r["width"], r["height"], bytes(r["pixels"]))
+        for r in resize_images(media, target_w=tw, target_h=th).collect()
+    }
+    src = {
+        r["asset_id"]: (bytes(r["content"]), r["meta"])
+        for r in media.filter("kind = 'image'").collect()
+    }
+    assert set(got) == set(src) and len(got) > 0
+    for aid, (w_out, h_out, pix) in got.items():
+        assert (w_out, h_out) == (tw, th)
+        assert len(pix) == tw * th * 3
+        content, meta = src[aid]
+        w, h = int(meta["width"]), int(meta["height"])
+        img = _fake_decode_image(content, w, h)
+        ys = (np.arange(th) * h // th).clip(0, h - 1)
+        xs = (np.arange(tw) * w // tw).clip(0, w - 1)
+        assert pix == img[ys[:, None], xs[None, :], :].tobytes()
