@@ -54,6 +54,13 @@ BENCH_QUERIES = [
     "confusion_matrix",
     "domain_frequency",
     "perfect_name_join",
+    "winnowing_neardup",
+    "external_id_extraction",
+    "bio_validation",
+    "bio_dates_validation",
+    "url_blacklist",
+    "three_way_outer_join",
+    "lang_id_ngram",
 ]
 
 
