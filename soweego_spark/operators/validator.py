@@ -133,6 +133,49 @@ def enrich_relationships(
     )
 
 
+def rotten_url_check(
+    statements: DataFrame,
+    prober=None,
+    url_col: str = "url",
+) -> DataFrame:
+    """P8 (reference importer.py:79-160 ``check_urls_cli``): probe every
+    statement URL for liveness; output gains ``alive BOOLEAN`` so callers
+    either drop the rotten rows or dump them (the reference writes a
+    rotten-URLs CSV and optionally deletes from the DB).
+
+    The reference resolves URLs serially with requests; here the probe
+    runs as an Arrow-batched ``mapInPandas`` — one injected
+    ``prober(list_of_urls) -> list[bool]`` call per batch, executed on the
+    executors (build HTTP sessions inside it). The container has no
+    network by policy, so the default prober is a deterministic stub:
+    hosts containing 'dead' are rotten — the distribution/batching
+    plumbing is what this operator owns.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if prober is None:
+        def prober(urls):  # deterministic offline stub
+            return ["dead" not in (u or "") for u in urls]
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    cols = statements.columns
+    # fresh StructType: .add() would MUTATE the DataFrame's cached schema
+    schema = StructType(
+        list(statements.schema.fields) + [StructField("alive", BooleanType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["alive"] = prober(list(pdf[url_col]))
+            yield pdf[cols + ["alive"]]
+
+    return statements.mapInPandas(run, schema=schema)
+
+
 def url_blacklist_filter(
     statements: DataFrame,
     blacklist: list[str],

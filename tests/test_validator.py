@@ -201,3 +201,28 @@ def test_sync_job_synthetic_outputs(spark):
     )
     # even ids carry 'Singer' -> normalized 'singer' ∈ wd label set
     assert match_bio_claims(wd_claims, t_claims).count() == 100
+
+
+def test_rotten_url_check_stub_and_custom_prober(spark):
+    """P8: liveness flag per statement; pluggable prober is honored."""
+    from soweego_spark.operators.validator import rotten_url_check
+
+    stmts = spark.createDataFrame(
+        [
+            (1, "https://ok.example/a"),
+            (2, "https://dead.example/b"),
+            (3, "https://fine.example/c"),
+        ],
+        "tid long, url string",
+    )
+    got = {r["tid"]: r["alive"] for r in rotten_url_check(stmts).collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+    def prober(urls):
+        return [u.endswith("/c") for u in urls]
+
+    got2 = {
+        r["tid"]: r["alive"]
+        for r in rotten_url_check(stmts, prober=prober).collect()
+    }
+    assert got2 == {1: False, 2: False, 3: True}
