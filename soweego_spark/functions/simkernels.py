@@ -181,3 +181,66 @@ def shared_ratio_min(left: list | None, right: list | None) -> float | None:
     if smallest == 0:
         return None
     return len(lset & rset) / smallest
+
+
+def jaro(s1: str, s2: str) -> float:
+    """Jaro similarity (public algorithm; the north_star pairs it with
+    Levenshtein for name scoring). Match window = max(len)//2 - 1;
+    transpositions counted over the matched subsequences."""
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    window = max(n1, n2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / n1 + matches / n2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    """Jaro-Winkler: Jaro boosted by the common prefix (<= 4 chars,
+    scaling factor 0.1 — Winkler's published constants)."""
+    j = jaro(s1, s2)
+    prefix = 0
+    for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+def jaro_winkler_max(left: list | None, right: list | None) -> float | None:
+    """Best Jaro-Winkler over the token cross product (the C2 pattern
+    with JW instead of Levenshtein)."""
+    if not left or not right:
+        return None
+    best = 0.0
+    for a in left:
+        for b in right:
+            if a is None or b is None:
+                continue
+            best = max(best, jaro_winkler(a, b))
+    return best

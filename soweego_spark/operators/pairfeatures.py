@@ -251,10 +251,38 @@ RULE_COLUMNS = [
 ]
 
 
+def name_jw_column():
+    """Optional 12th feature: best Jaro-Winkler over the name-token cross
+    product (the north_star pairs JW with Levenshtein for name scoring).
+    JW has no Catalyst built-in, so this is the prescribed Arrow-batched
+    pandas UDF path — opt-in via ``compute_features(include_jw=True)``
+    because the 11-feature vector is the reference-parity surface."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    def _jw(a, b):
+        # Arrow hands array columns over as numpy arrays (truthiness is
+        # ambiguous) — normalize to list/None before the kernel.
+        return pd.Series(
+            [
+                simkernels.jaro_winkler_max(
+                    None if x is None else list(x),
+                    None if y is None else list(y),
+                )
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
+
+    jw_udf = F.pandas_udf(_jw, DoubleType())
+    return jw_udf(F.col("a_name_tokens"), F.col("b_name_tokens"))
+
+
 def compute_features(
     pair_rows: DataFrame,
     occupation_closure: dict[str, list[str]] | None = None,
     carry_rule_cols: bool = False,
+    include_jw: bool = False,
 ) -> DataFrame:
     """Wide pair rows -> (url_a, url_b, <FEATURE_COLUMNS...>), 0.0-filled.
 
@@ -320,8 +348,10 @@ def compute_features(
         _shared_tokens(F.col("a_genres"), F.col("b_genres"), []).alias(
             "genre_shared"
         ),
+        *([name_jw_column().alias("name_jw")] if include_jw else []),
     )
-    return out.fillna(FEATURE_MISSING_VALUE, subset=FEATURE_COLUMNS)
+    fill_cols = FEATURE_COLUMNS + (["name_jw"] if include_jw else [])
+    return out.fillna(FEATURE_MISSING_VALUE, subset=fill_cols)
 
 
 def featurize(

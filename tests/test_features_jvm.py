@@ -91,3 +91,67 @@ def test_date_sim_matches_kernel(pair_rows_and_features):
             )
             assert _close(r[f"{side}_sim"], truth), (
                 r["url_a"], r["url_b"], side, r[f"{side}_sim"], truth)
+
+
+def test_jaro_winkler_kernel_published_values():
+    """Kernel pinned to the published Winkler examples."""
+    from soweego_spark.functions.simkernels import jaro, jaro_winkler
+
+    assert abs(jaro("MARTHA", "MARHTA") - 0.9444444444) < 1e-9
+    assert abs(jaro_winkler("MARTHA", "MARHTA") - 0.9611111111) < 1e-9
+    assert abs(jaro("DIXON", "DICKSONX") - 0.7666666667) < 1e-9
+    assert abs(jaro_winkler("DIXON", "DICKSONX") - 0.8133333333) < 1e-9
+    assert jaro_winkler("same", "same") == 1.0
+    assert jaro("abc", "xyz") == 0.0
+
+
+def test_name_jw_feature_matches_kernel(spark):
+    """The opt-in name_jw feature (Arrow-batched UDF) equals the kernel's
+    cross-product max on assembled pair rows."""
+    from pyspark.sql import functions as F
+
+    from soweego_spark.functions.simkernels import jaro_winkler_max
+    from soweego_spark.operators.pairfeatures import (
+        assemble_pairs,
+        compute_features,
+    )
+
+    sig = spark.createDataFrame(
+        [
+            ("u1", ["martha", "stewart"]),
+            ("u2", ["marhta", "stuart"]),
+            ("u3", ["dixon"]),
+            ("u4", None),
+        ],
+        "url string, name_tokens array<string>",
+    ).select(
+        "url", "name_tokens",
+        F.col("name_tokens").alias("name"),
+        F.lit(None).cast("array<string>").alias("urls"),
+        F.lit(None).cast("array<string>").alias("url_tokens"),
+        F.lit(None).cast("array<struct<y:int,mo:int,d:int,h:int,mi:int,s:int,depth:int>>").alias("born_p"),
+        F.lit(None).cast("array<struct<y:int,mo:int,d:int,h:int,mi:int,s:int,depth:int>>").alias("died_p"),
+        F.lit(None).cast("array<string>").alias("occupations"),
+        F.lit(None).cast("array<string>").alias("genres"),
+        F.lit(None).cast("map<string,int>").alias("name_bigrams"),
+        F.lit(None).cast("double").alias("name_bigram_norm"),
+        F.lit(None).cast("map<string,int>").alias("desc_terms"),
+        F.lit(None).cast("double").alias("desc_norm"),
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3"), ("u1", "u4")],
+        "url_a string, url_b string",
+    )
+    rows = assemble_pairs(pairs, sig)
+    got = {
+        (r["url_a"], r["url_b"]): r["name_jw"]
+        for r in compute_features(rows, include_jw=True).collect()
+    }
+    toks = {"u1": ["martha", "stewart"], "u2": ["marhta", "stuart"],
+            "u3": ["dixon"], "u4": None}
+    for (a, b), v in got.items():
+        truth = jaro_winkler_max(toks[a], toks[b])
+        if truth is None:
+            assert v == 0.0  # missing-value fill
+        else:
+            assert abs(v - truth) < 1e-12, (a, b, v, truth)
