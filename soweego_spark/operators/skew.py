@@ -128,10 +128,15 @@ def repartition_by_key_histogram(
     heavy = {
         r[key]: max(1, int(r["count"] / total * n_parts)) for r in hist
     }
-    salt_map = F.create_map(
-        *[x for k, v in heavy.items() for x in (F.lit(k), F.lit(v))]
-    )
-    width = F.coalesce(salt_map.getItem(F.col(key)), F.lit(1))
+    if heavy:
+        salt_map = F.create_map(
+            *[x for k, v in heavy.items() for x in (F.lit(k), F.lit(v))]
+        )
+        width = F.coalesce(salt_map.getItem(F.col(key)), F.lit(1))
+    else:
+        # empty sample (tiny table / tiny fraction): no observed hot keys,
+        # every key gets one partition slot
+        width = F.lit(1)
     salted = df.withColumn(
         SALT_COL,
         F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), width).cast("int"),

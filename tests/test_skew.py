@@ -171,3 +171,12 @@ def test_repartition_by_key_histogram_preserves_rows(spark):
     )
     assert out.count() == 1100
     assert sorted(out.columns) == ["k", "v"]
+
+
+def test_repartition_histogram_empty_sample(spark):
+    """A sample that observes nothing must still repartition validly."""
+    from soweego_spark.operators.skew import repartition_by_key_histogram
+
+    df = spark.createDataFrame([("k", 1), ("j", 2)], "k string, v long")
+    out = repartition_by_key_histogram(df, "k", sample_fraction=1e-9)
+    assert out.count() == 2
