@@ -1228,8 +1228,43 @@ def q_bio_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_bio_claims(wd, tgt)
 
 
-_Q_BIO_VALIDATION_SQL = """
-    WITH wd AS (
+# Exact-sequential-greedy pairing in DuckDB: per tid, candidates are
+# consumed in (wd_idx, t_idx) order with both sides used at most once —
+# the lexicographically-first maximal matching of the conflict graph.
+# Computed as a RECURSIVE CTE: each round accepts the candidates that are
+# minimal within BOTH their wd group and their t group (provably the
+# lex-first-MIS round rule; plain rank-filters or per-wd proposals are NOT
+# equivalent — a wd that loses its first choice must still get its second),
+# then drops every candidate sharing a side with an acceptance.
+# (list_reduce was rejected: DuckDB 1.0 mishandles non-scalar accumulators.)
+_GREEDY_ROUNDS_SQL = """
+    g AS (
+        SELECT tid, wd_idx, t_idx, 0 AS accepted FROM cand
+        UNION ALL
+        SELECT tid, wd_idx, t_idx, accepted FROM (
+            SELECT r.tid, r.wd_idx, r.t_idx,
+                   CASE WHEN rw = 1 AND rt = 1 THEN 1 ELSE 0 END AS accepted,
+                   max(CASE WHEN rw = 1 AND rt = 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY r.tid, r.wd_idx) AS wd_gone,
+                   max(CASE WHEN rw = 1 AND rt = 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY r.tid, r.t_idx) AS t_gone
+            FROM (
+                SELECT tid, wd_idx, t_idx,
+                       row_number() OVER (
+                           PARTITION BY tid, wd_idx ORDER BY t_idx) AS rw,
+                       row_number() OVER (
+                           PARTITION BY tid, t_idx ORDER BY wd_idx) AS rt
+                FROM g WHERE accepted = 0
+            ) r
+        )
+        WHERE accepted = 1 OR (wd_gone = 0 AND t_gone = 0)
+    ),
+    accepted AS (SELECT tid, wd_idx, t_idx FROM g WHERE accepted = 1)
+"""
+
+
+_Q_BIO_VALIDATION_SQL = f"""
+    WITH RECURSIVE wd AS (
         SELECT o_custkey AS tid, o_orderkey * 2 AS wd_idx,
                'status' AS pid, 'Q' || o_orderkey AS qid,
                [lower(o_orderstatus)] AS vals
@@ -1253,17 +1288,10 @@ _Q_BIO_VALIDATION_SQL = """
         FROM wd JOIN tgt ON wd.tid = tgt.tid AND wd.pid = tgt.pid
         WHERE list_contains(wd.vals, tgt.t_value)
     ),
-    r1 AS (
-        SELECT *, row_number() OVER (
-                   PARTITION BY tid, wd_idx ORDER BY t_idx) AS rn1
-        FROM cand
-    ),
-    r2 AS (
-        SELECT *, row_number() OVER (
-                   PARTITION BY tid, t_idx ORDER BY wd_idx) AS rn2
-        FROM r1 WHERE rn1 = 1
-    )
-    SELECT tid, pid, qid, wd_idx, t_idx FROM r2 WHERE rn2 = 1
+    {_GREEDY_ROUNDS_SQL.strip()}
+    SELECT c.tid, c.pid, c.qid, c.wd_idx, c.t_idx
+    FROM accepted a JOIN cand c
+      ON a.tid = c.tid AND a.wd_idx = c.wd_idx AND a.t_idx = c.t_idx
 """
 
 
@@ -1441,23 +1469,40 @@ def q_bio_dates_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_linenumber") % 3).cast("int").alias("depth"),
         )
     )
+    # the synthetic lineitem has duplicate (orderkey, linenumber) rows:
+    # keep one date per t_idx deterministically (min by full date tuple) —
+    # match_bio_dates requires unique statement indexes per side
+    w = Window.partitionBy("tid", "t_idx").orderBy("y", "mo", "d", "depth")
+    tgt = (
+        tgt.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     return match_bio_dates(wd, tgt)
 
 
-_Q_BIO_DATES_SQL = """
-    WITH wd AS (
+_Q_BIO_DATES_SQL = f"""
+    WITH RECURSIVE wd AS (
         SELECT o_custkey AS tid, o_orderkey AS wd_idx,
                year(o_orderdate) AS y, month(o_orderdate) AS mo,
                day(o_orderdate) AS d, (o_orderkey % 3)::INT AS depth
         FROM orders WHERE o_orderkey % 2 = 0
     ),
-    tgt AS (
+    tgt_raw AS (
         SELECT o.o_custkey AS tid,
                l.l_orderkey * 10 + l.l_linenumber AS t_idx,
                year(l.l_shipdate) AS y, month(l.l_shipdate) AS mo,
                day(l.l_shipdate) AS d, (l.l_linenumber % 3)::INT AS depth
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_orderkey % 2 = 1
+    ),
+    tgt AS (
+        SELECT tid, t_idx, y, mo, d, depth FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY tid, t_idx
+                       ORDER BY y, mo, d, depth) AS _rn
+            FROM tgt_raw
+        ) WHERE _rn = 1
     ),
     cand AS (
         SELECT wd.tid, wd.wd_idx, tgt.t_idx,
@@ -1467,17 +1512,10 @@ _Q_BIO_DATES_SQL = """
           AND (least(wd.depth, tgt.depth) < 1 OR wd.mo = tgt.mo)
           AND (least(wd.depth, tgt.depth) < 2 OR wd.d = tgt.d)
     ),
-    r1 AS (
-        SELECT *, row_number() OVER (
-                   PARTITION BY tid, wd_idx ORDER BY t_idx) AS rn1
-        FROM cand
-    ),
-    r2 AS (
-        SELECT *, row_number() OVER (
-                   PARTITION BY tid, t_idx ORDER BY wd_idx) AS rn2
-        FROM r1 WHERE rn1 = 1
-    )
-    SELECT tid, wd_idx, t_idx, shared_depth FROM r2 WHERE rn2 = 1
+    {_GREEDY_ROUNDS_SQL.strip()}
+    SELECT c.tid, c.wd_idx, c.t_idx, c.shared_depth
+    FROM accepted a JOIN cand c
+      ON a.tid = c.tid AND a.wd_idx = c.wd_idx AND a.t_idx = c.t_idx
 """
 
 

@@ -53,6 +53,23 @@ EXT_IDS_TYPE = ArrayType(
 )
 
 
+def resolve_external_ids(urls, formatters) -> list[dict] | None:
+    """Resolve a URL list to deduped [(ext_id, pid)] structs via the F5
+    kernel — the ONE implementation shared by the extract stage and the
+    pandas-UDF binding."""
+    if urls is None:
+        return None
+    out, seen = [], set()
+    for u in urls:
+        if u is None:
+            continue
+        ext_id, pid = urlnorm.extract_external_id(u, formatters)
+        if ext_id is not None and (ext_id, pid) not in seen:
+            seen.add((ext_id, pid))
+            out.append({"ext_id": ext_id, "pid": pid})
+    return out or None
+
+
 def make_external_ids_udf(formatters=None):
     """F5 Spark binding (reference url_utils.py:214-328 via the parity-tested
     kernel urlnorm.extract_external_id): ARRAY<STRING> of URLs ->
@@ -67,20 +84,7 @@ def make_external_ids_udf(formatters=None):
 
     @F.pandas_udf(EXT_IDS_TYPE)
     def external_ids(col: pd.Series) -> pd.Series:
-        def _one(urls):
-            if urls is None:
-                return None
-            out, seen = [], set()
-            for u in urls:
-                if u is None:
-                    continue
-                ext_id, pid = urlnorm.extract_external_id(u, fmts)
-                if ext_id is not None and (ext_id, pid) not in seen:
-                    seen.add((ext_id, pid))
-                    out.append({"ext_id": ext_id, "pid": pid})
-            return out or None
-
-        return col.map(_one)
+        return col.map(lambda urls: resolve_external_ids(urls, fmts))
 
     return external_ids
 

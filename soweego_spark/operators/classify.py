@@ -501,19 +501,22 @@ def train_svc(
     b = 0.0
     passes = 0
     sweeps = 0
+    # E maintained INCREMENTALLY: full K @ (alpha*y) recompute per accepted
+    # update would make a sweep O(n^3); the standard SMO rank-2 update
+    # (E += dai*yi*K[i] + daj*yj*K[j] + db) is O(n) per accepted step.
+    E = K @ (alpha * yy) + b - yy
     while passes < max_passes and sweeps < max_sweeps:
         changed = 0
         sweeps += 1
-        E = K @ (alpha * yy) + b - yy
         for i in range(n):
-            Ei = float(K[i] @ (alpha * yy) + b - yy[i])
+            Ei = float(E[i])
             if not (
                 (yy[i] * Ei < -tol and alpha[i] < C)
                 or (yy[i] * Ei > tol and alpha[i] > 0)
             ):
                 continue
             j = int(np.argmax(np.abs(E - Ei) + np.where(np.arange(n) == i, -np.inf, 0.0)))
-            Ej = float(K[j] @ (alpha * yy) + b - yy[j])
+            Ej = float(E[j])
             ai_old, aj_old = alpha[i], alpha[j]
             if yy[i] != yy[j]:
                 lo, hi = max(0.0, aj_old - ai_old), min(C, C + aj_old - ai_old)
@@ -531,13 +534,18 @@ def train_svc(
             alpha[i], alpha[j] = ai, aj
             b1 = b - Ei - yy[i] * (ai - ai_old) * K[i, i] - yy[j] * (aj - aj_old) * K[i, j]
             b2 = b - Ej - yy[i] * (ai - ai_old) * K[i, j] - yy[j] * (aj - aj_old) * K[j, j]
+            b_old = b
             if 0 < ai < C:
                 b = b1
             elif 0 < aj < C:
                 b = b2
             else:
                 b = (b1 + b2) / 2.0
-            E = K @ (alpha * yy) + b - yy
+            E += (
+                yy[i] * (ai - ai_old) * K[i]
+                + yy[j] * (aj - aj_old) * K[j]
+                + (b - b_old)
+            )
             changed += 1
         passes = passes + 1 if changed == 0 else 0
     sv = alpha > 1e-9

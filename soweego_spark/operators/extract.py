@@ -173,14 +173,10 @@ def _extract_one(url, html, text, formatters):
                     toks.update(ut)
             url_toks = sorted(toks) or None
             # F5: resolve each outbound URL against the external-id
-            # formatter catalog (url_utils.py:214-328).
-            ids, seen = [], set()
-            for u in urls_out:
-                ext_id, pid = urlnorm.extract_external_id(u, formatters)
-                if ext_id is not None and (ext_id, pid) not in seen:
-                    seen.add((ext_id, pid))
-                    ids.append({"ext_id": ext_id, "pid": pid})
-            ext_ids = ids or None
+            # formatter catalog (shared kernel, functions/urls.py).
+            from soweego_spark.functions.urls import resolve_external_ids
+
+            ext_ids = resolve_external_ids(urls_out, formatters)
 
     bio_m = _BIO_RE.search(text) if text else None
     description = bio_m.group(1) if bio_m else None

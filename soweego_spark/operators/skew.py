@@ -58,6 +58,12 @@ def salted_join(
     which is the standard trade (use broadcast instead when the small
     side fits in memory; use this when it doesn't).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full outer would emit one null-padded copy of an unmatched
+        # small-side row PER SALT (it is replicated n_salts times)
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     big_s = with_salt(big, n_salts)
     salts = F.explode(
@@ -125,8 +131,13 @@ def repartition_by_key_histogram(
     )
     total = sum(r["count"] for r in hist) or 1
     n_parts = max(1, int(total / sample_fraction / target_rows_per_partition))
+    # only keys needing MORE than one slot go in the plan literal (width 1
+    # is the coalesce default) — keeps the map to the few hot keys instead
+    # of every sampled key; null keys can't be map keys and default to 1
     heavy = {
-        r[key]: max(1, int(r["count"] / total * n_parts)) for r in hist
+        r[key]: int(r["count"] / total * n_parts)
+        for r in hist
+        if r[key] is not None and int(r["count"] / total * n_parts) > 1
     }
     if heavy:
         salt_map = F.create_map(

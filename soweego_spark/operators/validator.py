@@ -9,7 +9,7 @@ Python dicts-of-sets become id-keyed DataFrames + array built-ins; the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 def validate_links(wd: DataFrame, target: DataFrame) -> DataFrame:
@@ -41,6 +41,58 @@ def dead_ids(wd_ids: DataFrame, catalog: DataFrame, id_col: str = "tid") -> Data
     )
 
 
+def greedy_first_match(cands: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """EXACT sequential greedy pairing (the reference's used-index sets,
+    checks.py:860-880): scan candidates in (wd_idx, t_idx) order per tid,
+    accept a pair iff neither side was consumed by an earlier acceptance.
+
+    Two ranked windows are NOT equivalent (a wd claim that loses its
+    first-choice target to a lower-indexed claim would lose its SECOND
+    choice too — the reference would give it the second choice), so this
+    folds the per-tid candidate list with ``F.aggregate`` instead: one
+    groupBy shuffle, then a linear in-group scan carrying used-index sets
+    in the accumulator. Group size = candidate pairs of ONE entity
+    (small); the fold is O(k^2) array probes within a group.
+
+    ``cands``: (tid, wd_idx, t_idx, *extra_cols), (wd_idx, t_idx) unique
+    per tid. Output: the accepted rows, same columns.
+    """
+    elem = F.struct(
+        F.col("wd_idx").cast("long").alias("wd_idx"),
+        F.col("t_idx").cast("long").alias("t_idx"),
+        *[F.col(c) for c in extra_cols],
+    )
+    grouped = cands.groupBy("tid").agg(
+        F.array_sort(F.collect_list(elem)).alias("cands")
+    )
+    empty_ids = F.array().cast("array<long>")
+    init = F.struct(
+        empty_ids.alias("uw"),
+        empty_ids.alias("ut"),
+        # empty array with EXACTLY the element struct type
+        F.slice(F.col("cands"), 1, 0).alias("kept"),
+    )
+
+    def merge(acc, x):
+        used = F.array_contains(acc["uw"], x["wd_idx"]) | F.array_contains(
+            acc["ut"], x["t_idx"]
+        )
+        take = F.struct(
+            F.array_append(acc["uw"], x["wd_idx"]).alias("uw"),
+            F.array_append(acc["ut"], x["t_idx"]).alias("ut"),
+            F.array_append(acc["kept"], x).alias("kept"),
+        )
+        return F.when(used, acc).otherwise(take)
+
+    folded = grouped.select(
+        "tid",
+        F.aggregate(F.col("cands"), init, merge).getField("kept").alias("kept"),
+    )
+    return folded.select("tid", F.explode("kept").alias("m")).select(
+        "tid", "m.wd_idx", "m.t_idx", *[F.col(f"m.{c}").alias(c) for c in extra_cols]
+    )
+
+
 def match_bio_dates(wd_dates: DataFrame, target_dates: DataFrame) -> DataFrame:
     """SO2 (checks.py:818-937): greedy first-match-wins pairing of date
     statements on shared precision.
@@ -48,9 +100,8 @@ def match_bio_dates(wd_dates: DataFrame, target_dates: DataFrame) -> DataFrame:
     Inputs: ``wd_dates(tid, wd_idx, y, mo, d, depth)`` and
     ``target_dates(tid, t_idx, y, mo, d, depth)`` — one row per date value.
     A wd date matches a target date when all attributes down to
-    ``min(depth)`` agree (F7). Greedy semantics: each target date is
-    consumed by at most one wd date, in (wd_idx, t_idx) order — emulated
-    with two ranked windows instead of the reference's used-index set.
+    ``min(depth)`` agree (F7); pairing is the reference's exact sequential
+    greedy (see :func:`greedy_first_match`).
     """
     j = wd_dates.join(target_dates, "tid")
     shared = F.least(wd_dates["depth"], target_dates["depth"])
@@ -62,16 +113,8 @@ def match_bio_dates(wd_dates: DataFrame, target_dates: DataFrame) -> DataFrame:
     matches = j.filter(agree).select(
         "tid", "wd_idx", "t_idx", shared.alias("shared_depth")
     )
-    # first-match-wins: rank candidate targets per wd date, then make sure
-    # no target date is claimed twice (keep the lowest wd_idx claimant).
-    w1 = Window.partitionBy("tid", "wd_idx").orderBy("t_idx")
-    w2 = Window.partitionBy("tid", "t_idx").orderBy("wd_idx")
-    return (
-        matches.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") == 1)
-        .withColumn("r2", F.row_number().over(w2))
-        .filter(F.col("r2") == 1)
-        .select("tid", "wd_idx", "t_idx", "shared_depth")
+    return greedy_first_match(matches, ["shared_depth"]).select(
+        "tid", "wd_idx", "t_idx", "shared_depth"
     )
 
 
@@ -90,9 +133,9 @@ def match_bio_claims(
 
     A wd claim matches a target statement when the PIDs agree and the
     normalized target value is a member of the wd claim's label set
-    (checks.py:908-911). Greedy semantics — each side consumed at most once,
-    scanning in (wd_idx, t_idx) order — use the same two ranked windows as
-    :func:`match_bio_dates` (the reference's used-index sets). The
+    (checks.py:908-911). Greedy semantics — each side consumed at most
+    once, scanning in (wd_idx, t_idx) order — are the reference's EXACT
+    sequential used-index-set walk (see :func:`greedy_first_match`). The
     reference's fallback QID resolution for unmatched values
     (checks.py:913-917) is a live API call: out of scope here; unmatched
     target rows are simply absent from the output.
@@ -102,15 +145,9 @@ def match_bio_claims(
     j = wd_claims.join(target_claims, ["tid", "pid"]).filter(
         F.array_contains(F.col("values"), F.col("t_value"))
     )
-    w1 = Window.partitionBy("tid", "wd_idx").orderBy("t_idx")
-    w2 = Window.partitionBy("tid", "t_idx").orderBy("wd_idx")
-    return (
-        j.select("tid", "pid", "qid", "wd_idx", "t_idx")
-        .withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") == 1)
-        .withColumn("r2", F.row_number().over(w2))
-        .filter(F.col("r2") == 1)
-        .select("tid", "pid", "qid", "wd_idx", "t_idx")
+    cands = j.select("tid", "wd_idx", "t_idx", "pid", "qid")
+    return greedy_first_match(cands, ["pid", "qid"]).select(
+        "tid", "pid", "qid", "wd_idx", "t_idx"
     )
 
 

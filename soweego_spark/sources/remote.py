@@ -95,11 +95,13 @@ def bucketed_api_fetch(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in schema.fields]
         for pdf in batches:
-            bucket = list(pdf[id_col])
-            if not bucket:
-                continue
-            records = fetch_fn(bucket)
-            yield pd.DataFrame(records, columns=cols)
+            ids_here = list(pdf[id_col])
+            # hash partitioning is only approximately even, so enforce the
+            # API's hard bucket-size contract by chunking within the task
+            for s in range(0, len(ids_here), bucket_size):
+                bucket = ids_here[s : s + bucket_size]
+                if bucket:
+                    yield pd.DataFrame(fetch_fn(bucket), columns=cols)
 
     return distributed.mapInPandas(run, schema=schema)
 
@@ -144,10 +146,17 @@ def jsonl_dir_emitter(path: str) -> Callable[[int, list[dict]], None]:
     send, written to disk instead (external writes are out of scope by
     policy)."""
     os.makedirs(path, exist_ok=True)
+    started: set[int] = set()  # per-task closure copy -> per-task state
 
     def emit(partition_id: int, rows: list[dict]) -> None:
         out = os.path.join(path, f"part-{partition_id:05d}.jsonl")
-        with open(out, "a", encoding="utf8") as fh:
+        # truncate on the task's FIRST batch: a retried/speculated task
+        # rewrites its partition file instead of appending duplicates
+        # (foreachPartition is at-least-once; deterministic file-per-
+        # partition naming makes the rewrite idempotent)
+        mode = "a" if partition_id in started else "w"
+        started.add(partition_id)
+        with open(out, mode, encoding="utf8") as fh:
             for r in rows:
                 fh.write(json.dumps(r, sort_keys=True, default=str) + "\n")
 

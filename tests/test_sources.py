@@ -211,12 +211,20 @@ def test_bucketed_api_fetch_parallel_buckets(spark):
     )
 
     def fetch(bucket):
-        assert len(bucket) <= 50 or True  # partitions approximate buckets
+        # the API's hard contract: never more than bucket_size ids per call
+        if len(bucket) > 50:
+            raise AssertionError(f"bucket too large: {len(bucket)}")
         return [{"qid": int(q), "label": f"L{q}"} for q in bucket]
 
     out = bucketed_api_fetch(ids, fetch, schema, id_col="qid", bucket_size=50)
     rows = {r["qid"]: r["label"] for r in out.collect()}
     assert rows == {q: f"L{q}" for q in range(137)}
+
+    # skewed partitioning still respects the contract (one partition)
+    out1 = bucketed_api_fetch(
+        ids.coalesce(1), fetch, schema, id_col="qid", bucket_size=50
+    )
+    assert out1.count() == 137
 
 
 def test_paged_scan_covers_all_pages(spark):

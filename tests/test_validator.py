@@ -226,3 +226,56 @@ def test_rotten_url_check_stub_and_custom_prober(spark):
         for r in rotten_url_check(stmts, prober=prober).collect()
     }
     assert got2 == {1: False, 2: False, 3: True}
+
+
+def test_greedy_first_match_sequential_not_windowed(spark):
+    """The case rank-filter windows get WRONG: wd 3 loses its first choice
+    (u, taken by wd 2) and must still get its second choice (t); and a
+    later wd must NOT steal t in the meantime. Reference semantics
+    (checks.py used-index walk): {(2,u), (3,t)}."""
+    from soweego_spark.operators.validator import greedy_first_match
+
+    cands = spark.createDataFrame(
+        [(1, 2, 100), (1, 3, 100), (1, 3, 200), (1, 5, 200)],
+        "tid long, wd_idx long, t_idx long",
+    )
+    got = {
+        (r["wd_idx"], r["t_idx"])
+        for r in greedy_first_match(cands, []).collect()
+    }
+    assert got == {(2, 100), (3, 200)}
+
+
+def test_greedy_first_match_random_vs_python_replay(spark):
+    """Property: on random bipartite candidate sets the operator equals a
+    literal Python replay of the reference's sequential used-index walk."""
+    import random
+
+    from soweego_spark.operators.validator import greedy_first_match
+
+    rng = random.Random(61)
+    rows = []
+    for tid in range(30):
+        n_w, n_t = rng.randint(1, 8), rng.randint(1, 8)
+        for w in range(n_w):
+            for t in range(n_t):
+                if rng.random() < 0.4:
+                    rows.append((tid, w, t))
+    cands = spark.createDataFrame(rows, "tid long, wd_idx long, t_idx long")
+    got = {
+        (r["tid"], r["wd_idx"], r["t_idx"])
+        for r in greedy_first_match(cands, []).collect()
+    }
+    expected = set()
+    by_tid: dict[int, list] = {}
+    for tid, w, t in rows:
+        by_tid.setdefault(tid, []).append((w, t))
+    for tid, cand in by_tid.items():
+        uw, ut = set(), set()
+        for w, t in sorted(cand):
+            if w in uw or t in ut:
+                continue
+            uw.add(w)
+            ut.add(t)
+            expected.add((tid, w, t))
+    assert got == expected
