@@ -211,7 +211,12 @@ _Q_TOPK_SQL = """
 def q_threshold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4+P5/T2: threshold filter + first-of-duplicates per key."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber")
+    # l_quantity tiebreak: the synthetic lineitem has duplicate
+    # (orderkey, linenumber) rows, so ordering by linenumber alone is not
+    # total and the picked row was nondeterministic (flaky hash at sf0.1)
+    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
+        "l_linenumber", "l_quantity"
+    )
     return (
         li.filter(F.col("l_discount") >= 0.05)
         .withColumn("rn", F.row_number().over(w))
@@ -225,7 +230,8 @@ _Q_THRESHOLD_DEDUP_SQL = """
     FROM (
         SELECT l_orderkey, l_partkey, l_quantity,
                row_number() OVER (
-                   PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber
+                   PARTITION BY l_orderkey, l_partkey
+                   ORDER BY l_linenumber, l_quantity
                ) AS rn
         FROM lineitem WHERE l_discount >= 0.05
     ) WHERE rn = 1
@@ -1363,9 +1369,16 @@ def q_three_way_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
     )
+    # value is 2-decimal data stored as double: averaging doubles lands ON
+    # rounding ties where Spark (HALF_UP on the decimal string repr) and
+    # DuckDB (binary-value rounding) legitimately disagree (seen at sf0.1:
+    # avg 49.19125 -> .1913 vs .1912). Tie-free exact arithmetic instead:
+    # cents are exact integers, sums of integers are exact in a double,
+    # one division is bit-deterministic, and floor() has no tie cases.
+    cents = F.sum(F.round(F.col("value") * 100))
     nlp = events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        (F.floor(cents * 100 / F.count("*")) / 10000.0).alias("avg_value"),
     )
     return (
         cust.select("c_custkey", "c_nationkey")
@@ -1386,7 +1399,8 @@ _Q_THREE_WAY_SQL = """
     ),
     nlp AS (
         SELECT user_id, count(*) AS n_events,
-               round(avg(value), 4) AS avg_value
+               floor(sum(round(value * 100)) * 100 / count(*)) / 10000.0
+                   AS avg_value
         FROM events GROUP BY user_id
     )
     SELECT c_custkey, c_nationkey, n_orders, total_spent, n_events, avg_value
