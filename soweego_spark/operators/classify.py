@@ -677,6 +677,63 @@ class MLPModel:
         return 1.0 / (1.0 + np.exp(-np.clip(z3[:, 0], -35, 35)))
 
 
+def _mlp_forward_train(p: dict, xb: np.ndarray, eps_bn: float = 1e-3,
+                       momentum: float = 0.99, update_running: bool = True):
+    """Training-mode forward pass (batch statistics); returns
+    (prob, cache). Exposed module-level so the finite-difference gradient
+    check in tests can drive it without mutating running stats."""
+    cache = {}
+    h = xb
+    for i in (1, 2):
+        z = h @ p[f"W{i}"] + p[f"b{i}"]
+        a = _selu(z)
+        mu = a.mean(axis=0)
+        var = a.var(axis=0)
+        xhat = (a - mu) / np.sqrt(var + eps_bn)
+        out = p[f"g{i}"] * xhat + p[f"be{i}"]
+        cache[i] = (h, z, a, mu, var, xhat)
+        if update_running:
+            p[f"rm{i}"] = momentum * p[f"rm{i}"] + (1 - momentum) * mu
+            p[f"rv{i}"] = momentum * p[f"rv{i}"] + (1 - momentum) * var
+        h = out
+    z3 = h @ p["W3"] + p["b3"]
+    prob = 1.0 / (1.0 + np.exp(-np.clip(z3[:, 0], -35, 35)))
+    cache[3] = h
+    return prob, cache
+
+
+def _mlp_backward(p: dict, yb: np.ndarray, prob: np.ndarray, cache: dict,
+                  eps_bn: float = 1e-3) -> dict:
+    """Gradients of mean BCE wrt every trainable parameter (standard
+    batchnorm closed-form backward); verified against finite differences
+    in tests/test_classifiers.py."""
+    n = len(yb)
+    g = {}
+    dz3 = (prob - yb)[:, None] / n            # BCE + sigmoid
+    g["W3"] = cache[3].T @ dz3
+    g["b3"] = dz3.sum(axis=0)
+    dh = dz3 @ p["W3"].T
+    for i in (2, 1):
+        hin, z, a, mu, var, xhat = cache[i]
+        g[f"g{i}"] = (dh * xhat).sum(axis=0)
+        g[f"be{i}"] = dh.sum(axis=0)
+        dxhat = dh * p[f"g{i}"]
+        inv = 1.0 / np.sqrt(var + eps_bn)
+        da = (
+            inv / n
+            * (
+                n * dxhat
+                - dxhat.sum(axis=0)
+                - xhat * (dxhat * xhat).sum(axis=0)
+            )
+        )
+        dz = da * _selu_grad(z)
+        g[f"W{i}"] = hin.T @ dz
+        g[f"b{i}"] = dz.sum(axis=0)
+        dh = dz @ p[f"W{i}"].T
+    return g
+
+
 def train_mlp(
     X: np.ndarray,
     y: np.ndarray,
@@ -720,53 +777,6 @@ def train_mlp(
     acc_g = {k: np.zeros_like(p[k]) for k in grads_keys}
     acc_u = {k: np.zeros_like(p[k]) for k in grads_keys}
 
-    def forward_train(xb):
-        cache = {}
-        h = xb
-        for i in (1, 2):
-            z = h @ p[f"W{i}"] + p[f"b{i}"]
-            a = _selu(z)
-            mu = a.mean(axis=0)
-            var = a.var(axis=0)
-            xhat = (a - mu) / np.sqrt(var + eps_bn)
-            out = p[f"g{i}"] * xhat + p[f"be{i}"]
-            cache[i] = (h, z, a, mu, var, xhat)
-            p[f"rm{i}"] = momentum * p[f"rm{i}"] + (1 - momentum) * mu
-            p[f"rv{i}"] = momentum * p[f"rv{i}"] + (1 - momentum) * var
-            h = out
-        z3 = h @ p["W3"] + p["b3"]
-        prob = 1.0 / (1.0 + np.exp(-np.clip(z3[:, 0], -35, 35)))
-        cache[3] = h
-        return prob, cache
-
-    def backward(xb, yb, prob, cache):
-        n = len(yb)
-        g = {}
-        dz3 = (prob - yb)[:, None] / n            # BCE + sigmoid
-        g["W3"] = cache[3].T @ dz3
-        g["b3"] = dz3.sum(axis=0)
-        dh = dz3 @ p["W3"].T
-        for i in (2, 1):
-            hin, z, a, mu, var, xhat = cache[i]
-            g[f"g{i}"] = (dh * xhat).sum(axis=0)
-            g[f"be{i}"] = dh.sum(axis=0)
-            # batchnorm backward (standard closed form)
-            dxhat = dh * p[f"g{i}"]
-            inv = 1.0 / np.sqrt(var + eps_bn)
-            da = (
-                inv / n
-                * (
-                    n * dxhat
-                    - dxhat.sum(axis=0)
-                    - xhat * (dxhat * xhat).sum(axis=0)
-                )
-            )
-            dz = da * _selu_grad(z)
-            g[f"W{i}"] = hin.T @ dz
-            g[f"b{i}"] = dz.sum(axis=0)
-            dh = dz @ p[f"W{i}"].T
-        return g
-
     def val_loss():
         model = MLPModel(list(features), p)
         return _bce(model.predict_proba(Xv), yv)
@@ -779,8 +789,10 @@ def train_mlp(
             idx = order[s : s + batch_size]
             if len(idx) < 2:
                 continue  # batchnorm needs batch statistics
-            prob, cache = forward_train(Xt[idx])
-            g = backward(Xt[idx], yt[idx], prob, cache)
+            prob, cache = _mlp_forward_train(
+                p, Xt[idx], eps_bn=eps_bn, momentum=momentum
+            )
+            g = _mlp_backward(p, yt[idx], prob, cache, eps_bn=eps_bn)
             for k in grads_keys:
                 acc_g[k] = rho * acc_g[k] + (1 - rho) * g[k] ** 2
                 upd = (

@@ -211,3 +211,53 @@ def test_kfold_accepts_every_model_family(spark, fixture_frames):
     for t in trainers:
         out = ev.kfold_scores(features, labeled, k=3, trainer=t)
         assert out["f1"] >= 0.9, out
+
+
+def test_mlp_backprop_matches_finite_differences():
+    """Gold-standard check of the hand-written batchnorm/selu backprop:
+    analytic gradients equal central finite differences of the batch BCE
+    loss for every parameter tensor."""
+    rng = np.random.RandomState(3)
+    n, d, h1, h2 = 12, 5, 6, 4
+    X = rng.rand(n, d)
+    y = (rng.rand(n) > 0.5).astype(float)
+
+    def glorot(i, o):
+        lim = np.sqrt(6.0 / (i + o))
+        return rng.uniform(-lim, lim, size=(i, o))
+
+    p = {
+        "W1": glorot(d, h1), "b1": rng.randn(h1) * 0.1,
+        "g1": 1 + rng.randn(h1) * 0.1, "be1": rng.randn(h1) * 0.1,
+        "rm1": np.zeros(h1), "rv1": np.ones(h1),
+        "W2": glorot(h1, h2), "b2": rng.randn(h2) * 0.1,
+        "g2": 1 + rng.randn(h2) * 0.1, "be2": rng.randn(h2) * 0.1,
+        "rm2": np.zeros(h2), "rv2": np.ones(h2),
+        "W3": glorot(h2, 1), "b3": rng.randn(1) * 0.1,
+    }
+
+    def loss(params):
+        prob, _ = clf._mlp_forward_train(params, X, update_running=False)
+        return clf._bce(prob, y)
+
+    prob, cache = clf._mlp_forward_train(p, X, update_running=False)
+    grads = clf._mlp_backward(p, y, prob, cache)
+
+    eps = 1e-6
+    for k, g in grads.items():
+        num = np.zeros_like(p[k])
+        it = np.nditer(p[k], flags=["multi_index"])
+        while not it.finished:
+            idx = it.multi_index
+            orig = p[k][idx]
+            p[k][idx] = orig + eps
+            lp = loss(p)
+            p[k][idx] = orig - eps
+            lm = loss(p)
+            p[k][idx] = orig
+            num[idx] = (lp - lm) / (2 * eps)
+            it.iternext()
+        np.testing.assert_allclose(
+            g, num, rtol=1e-4, atol=1e-7,
+            err_msg=f"gradient mismatch for {k}",
+        )
