@@ -26,7 +26,7 @@ Operator coverage map (SURVEY.md §2 -> query):
   ANN   brute-force cosine top-k (BLAS broadcast)     -> embedding_topk
   ANN   cosine near-dup pairs (BLAS broadcast)        -> embedding_neardup
   ANN   hyperplane-LSH near-dup (plane-literal oracle)-> embedding_lsh_neardup
-  ANN   IVF probe top-k (rows-only: iterative k-means)-> embedding_ivf_topk
+  ANN   IVF probe top-k (centroid-literal oracle)   -> embedding_ivf_topk
   text  language-ID heuristic                         -> lang_id
   text  quality scoring                               -> quality_score
   text  token counting                                -> token_count
@@ -55,6 +55,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -112,7 +113,7 @@ def q_token_blocking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("shared_tokens"), F.asc("doc_b")
     )
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .select("doc_a", "doc_b", "shared_tokens", "rn")
     )
@@ -189,7 +190,7 @@ def q_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -781,9 +782,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (k-means cells + probe search) — rows-only
-    check; the full-probe==brute-force invariant and partial-probe recall
-    are pytest-verified (tests/test_ann.py)."""
+    """IVF approximate top-k (k-means cells + probe search). Fully
+    oracled: the seeded Lloyd fit is replayed in numpy at oracle-SQL
+    generation time and the centroid matrix embedded as literals
+    (_q_embedding_ivf_sql); the full-probe==brute-force invariant and
+    partial-probe recall are additionally pytest-verified
+    (tests/test_ann.py)."""
     from soweego_spark.operators.ann import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -835,6 +839,107 @@ def _q_embedding_lsh_sql(n_planes: int = 8, dim: int = 64, seed: int = 61,
     FROM buckets a JOIN buckets b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round({cos}, 4) >= {t}
+    """
+
+
+def _q_embedding_ivf_sql(
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 61,
+    iters: int = 10,
+) -> str:
+    """DuckDB replica of q_embedding_ivf_topk: the fit is deterministic
+    (seeded numpy Lloyd on the xxhash64-TakeOrdered sample, which at every
+    test sf is the WHOLE table since rows << fit_cap, and _collect_matrix
+    sorts by vec_id), so replay it here in numpy on the same parquet and
+    embed the k x dim centroid matrix as DOUBLE[] literals — the same
+    plane-literal technique as _q_embedding_lsh_sql. Cell assignment /
+    probe ranking use the raw (unnormalized) dot product: argmax and
+    argsort are invariant under the positive per-query scaling the
+    operator applies, and ties break (score DESC, cell ASC) exactly like
+    numpy's first-max argmax / stable argsort.
+
+    The sf dir defaults to the driver's gate (sf0.01); the local replica
+    overrides via SOWEEGO_ORACLE_SF_DIR so the fit matches the data under
+    test at any sf.
+    """
+    import os
+
+    import duckdb as _duck
+    import numpy as np
+
+    from soweego_spark.operators.ann import _kmeans_fit
+
+    sf_dir = os.environ.get(
+        "SOWEEGO_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tbl = (
+        _duck.connect()
+        .execute(
+            "SELECT embedding FROM "
+            f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+        )
+        .fetchall()
+    )
+    mat = np.array([r[0] for r in tbl], dtype=np.float64)
+    cent = _kmeans_fit(mat, n_centroids, seed, iters)
+    cent_rows = ", ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cent[c])}]::DOUBLE[])"
+        for c in range(len(cent))
+    )
+    cos = (
+        "list_inner_product(q.embedding::DOUBLE[], m.embedding::DOUBLE[])"
+        " / (sqrt(list_inner_product(q.embedding::DOUBLE[],"
+        " q.embedding::DOUBLE[]))"
+        " * sqrt(list_inner_product(m.embedding::DOUBLE[],"
+        " m.embedding::DOUBLE[])))"
+    )
+    return f"""
+    WITH centroids AS (
+        SELECT * FROM (VALUES {cent_rows}) AS c(cell, cv)
+    ),
+    member_cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_inner_product(
+                           e.embedding::DOUBLE[], c.cv) DESC, c.cell ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_inner_product(
+                           e.embedding::DOUBLE[], c.cv) DESC, c.cell ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+            WHERE e.vec_id < 20
+        ) WHERE rn <= {n_probe}
+    ),
+    cand AS (
+        SELECT p.vec_id AS query_id, mc.vec_id AS neighbor_id
+        FROM probes p JOIN member_cells mc ON p.cell = mc.cell
+        WHERE p.vec_id <> mc.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round({cos}, 4) AS cosine
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings m ON m.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {k}
     """
 
 
@@ -1342,7 +1447,8 @@ _Q_LANG_NGRAM_SQL = """
         FROM grams GROUP BY doc_id, tg
     ),
     scored AS (
-        SELECT d.doc_id, p.lang, sum(d.doc_cnt * p.prof_cnt) AS score
+        SELECT d.doc_id, p.lang,
+               sum(d.doc_cnt * p.prof_cnt)::BIGINT AS score
         FROM doc_counts d JOIN profiles p USING (tg)
         GROUP BY d.doc_id, p.lang
     )
@@ -1466,7 +1572,7 @@ def q_bio_dates_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("y"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("d"),
-        (F.col("o_orderkey") % 3).cast("int").alias("depth"),
+        (F.col("o_orderkey") % 3).cast("long").alias("depth"),
     )
     tgt = (
         li.join(
@@ -1480,7 +1586,7 @@ def q_bio_dates_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("y"),
             F.month("l_shipdate").alias("mo"),
             F.dayofmonth("l_shipdate").alias("d"),
-            (F.col("l_linenumber") % 3).cast("int").alias("depth"),
+            (F.col("l_linenumber") % 3).cast("long").alias("depth"),
         )
     )
     # the synthetic lineitem has duplicate (orderkey, linenumber) rows:
@@ -1531,6 +1637,309 @@ _Q_BIO_DATES_SQL = f"""
     FROM accepted a JOIN cand c
       ON a.tid = c.tid AND a.wd_idx = c.wd_idx AND a.t_idx = c.t_idx
 """
+
+
+# ------------------------------------- pair features + classifier gate
+#
+# C1-C7 and the M2 scoring surface under the driver's hash gate: a
+# deterministic synthetic signature table built from `part` (tokens, URL
+# lists, date structs, count maps — all derived arithmetically from
+# p_partkey so DuckDB can mirror them exactly), run through the REAL
+# assemble_pairs + compute_features path (operators/pairfeatures.py), and
+# for logistic_score the REAL IRLS trainer (operators/classify.py:68) with
+# the fitted weights embedded as literals in the oracle — the plane-literal
+# technique. Every feature is +,-,*,/,sqrt over identical operands in
+# identical order, so values are bit-exact across engines; the output is
+# the linear MARGIN (w·x + b), not sigmoid(margin), because libm exp is
+# the one op without a cross-engine correct-rounding guarantee.
+
+
+def _part_signature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic signature table over part (pk % 4 == 0 sample): the same
+    column surface extract.py produces, derived arithmetically so the
+    oracle can rebuild it in SQL. Band words are injected into some name
+    token sets so the C5 band penalty actually fires."""
+    part = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+
+    def tag(prefix: str, mod: int):
+        return F.concat(F.lit(prefix), (pk % mod).cast("string"))
+
+    extra = F.filter(
+        F.array(
+            F.when(pk % 5 == 0, F.lit("band")),
+            F.when(pk % 7 == 0, F.lit("club")),
+        ),
+        lambda e1: e1.isNotNull(),
+    )
+    toks = F.array_sort(
+        F.array_distinct(F.concat(F.split(F.col("p_name"), " "), extra))
+    )
+    dtoks = F.array_sort(
+        F.array_distinct(
+            F.split(
+                F.concat_ws(" ", F.lower(F.col("p_type")), F.col("p_name")),
+                " ",
+            )
+        )
+    )
+
+    def date_struct(y0, ymod, momod, dmod, depmod):
+        return F.array(
+            F.struct(
+                (F.lit(y0) + pk % ymod).cast("int").alias("y"),
+                (F.lit(1) + pk % momod).cast("int").alias("mo"),
+                (F.lit(1) + pk % dmod).cast("int").alias("d"),
+                F.lit(0).alias("h"),
+                F.lit(0).alias("mi"),
+                F.lit(0).alias("s"),
+                (pk % depmod).cast("int").alias("depth"),
+            )
+        )
+
+    return part.filter(pk % 4 == 0).select(
+        pk.alias("pk"),
+        F.col("p_brand").alias("block"),
+        F.concat(F.lit("p"), pk.cast("string")).alias("url"),
+        F.array(F.col("p_name")).alias("name"),
+        toks.alias("name_tokens"),
+        F.array(
+            F.concat(F.lit("https://x.test/"), (pk % 17).cast("string")),
+            F.concat(F.lit("https://y.test/"), (pk % 5).cast("string")),
+        ).alias("urls"),
+        F.array_sort(
+            F.array_distinct(F.array(tag("t", 11), tag("t", 7), tag("t", 3)))
+        ).alias("url_tokens"),
+        date_struct(1900, 100, 12, 28, 3).alias("born_p"),
+        date_struct(1950, 60, 11, 27, 2).alias("died_p"),
+        F.array_sort(
+            F.array_distinct(F.array(tag("o", 5), tag("o", 3), tag("o", 2)))
+        ).alias("occupations"),
+        F.array_sort(F.array_distinct(F.array(tag("g", 4), tag("g", 6)))).alias(
+            "genres"
+        ),
+        F.map_from_arrays(toks, F.transform(toks, lambda t1: F.lit(1))).alias(
+            "name_bigrams"
+        ),
+        F.sqrt(F.size(toks)).alias("name_bigram_norm"),
+        F.map_from_arrays(dtoks, F.transform(dtoks, lambda t2: F.lit(1))).alias(
+            "desc_terms"
+        ),
+        F.sqrt(F.size(dtoks)).alias("desc_norm"),
+    )
+
+
+def _pair_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-blocked pairs over the synthetic signatures, featurized by the
+    flagship path (assemble_pairs + compute_features)."""
+    from soweego_spark.operators.pairfeatures import featurize
+
+    sig = _part_signature_frame(spark, sf_dir)
+    a = sig.select("block", F.col("url").alias("url_a"), F.col("pk").alias("_pka"))
+    b = sig.select("block", F.col("url").alias("url_b"), F.col("pk").alias("_pkb"))
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("_pka") < F.col("_pkb"))
+        .select("url_a", "url_b")
+    )
+    return featurize(pairs, sig.drop("pk", "block"))
+
+
+def q_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2/C3/C4/C5/C6/C7 + assembly (C8/C9) under the hash gate: the
+    11-column reference-parity feature vector (reference features.py:76-470)
+    over brand-blocked part pairs."""
+    return _pair_feature_frame(spark, sf_dir)
+
+
+def _labeled_feature_subset(feats: DataFrame) -> DataFrame:
+    """Deterministic 1/3 'annotated' subset with a name-similarity label —
+    the training fixture for logistic_score, reproducible in SQL."""
+    a_pk = F.substring(F.col("url_a"), 2, 18).cast("long")
+    b_pk = F.substring(F.col("url_b"), 2, 18).cast("long")
+    return feats.filter((a_pk * 31 + b_pk) % 3 == 0).withColumn(
+        "label", (F.col("name_cos") >= 0.5).cast("double")
+    )
+
+
+def q_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 train + score + P4 threshold under the hash gate: IRLS logistic
+    regression (classify.py:68, liblinear C=1.0 analogue) trained
+    driver-side on the deterministic labeled subset, pushed back into the
+    plan as literal column arithmetic (the broadcast-linear-model pattern,
+    reference linker/link.py:148-223). Emits the linear margin w·x + b and
+    keeps margin >= 0 (== sigmoid >= 0.5): identical decision boundary,
+    bit-exact across engines (no libm exp in the output)."""
+    from soweego_spark.operators.classify import train_logistic
+    from soweego_spark.operators.pairfeatures import FEATURE_COLUMNS
+
+    feats = _pair_feature_frame(spark, sf_dir)
+    labeled = _labeled_feature_subset(feats).select(
+        "url_a", "url_b", *FEATURE_COLUMNS, "label"
+    )
+    rows = sorted(
+        labeled.collect(), key=lambda r: (r["url_a"], r["url_b"])
+    )
+    X = np.array([[r[c] for c in FEATURE_COLUMNS] for r in rows], dtype=np.float64)
+    y = np.array([r["label"] for r in rows], dtype=np.float64)
+    model = train_logistic(X, y)
+    margin = F.lit(float(model.bias))
+    for name, w in zip(model.features, model.weights):
+        margin = margin + F.col(name) * F.lit(float(w))
+    return (
+        feats.withColumn("margin", margin)
+        .filter(F.col("margin") >= 0.0)
+        .select("url_a", "url_b", "margin")
+    )
+
+
+def _pair_features_sql() -> str:
+    """DuckDB replica of q_pair_features — same arithmetic, same op order
+    (every feature is IEEE +,-,*,/,sqrt/levenshtein over identical
+    operands, so no rounding is needed)."""
+    from soweego_spark.functions.simkernels import BAND_LOW_SCORE_WORDS
+
+    band = ", ".join("'" + w + "'" for w in sorted(BAND_LOW_SCORE_WORDS))
+    lev = (
+        "list_max(flatten([[CASE WHEN greatest(len(x), len(y)) = 0 THEN 1.0 "
+        "ELSE 1.0 - levenshtein(x, y) / greatest(len(x), len(y)) END "
+        "FOR y IN b_toks] FOR x IN a_toks]))"
+    )
+
+    def datesim(pre_a, pre_b, y, mo, d, dep):
+        sh = f"least({pre_a}{dep}, {pre_b}{dep})"
+        return (
+            f"(CASE WHEN {pre_a}{y} = {pre_b}{y} THEN "
+            f"CASE WHEN {sh} >= 1 AND {pre_a}{mo} = {pre_b}{mo} THEN "
+            f"CASE WHEN {sh} >= 2 AND {pre_a}{d} = {pre_b}{d} "
+            f"THEN 3 ELSE 2 END ELSE 1 END ELSE 0 END) / ({sh} + 1)"
+        )
+
+    return f"""
+    WITH side AS (
+        SELECT p_partkey AS pk, p_brand AS block,
+               'p' || p_partkey::VARCHAR AS url, p_name AS nm,
+               list_sort(list_distinct(list_concat(list_concat(
+                   string_split(p_name, ' '),
+                   CASE WHEN p_partkey % 5 = 0 THEN ['band']
+                        ELSE []::VARCHAR[] END),
+                   CASE WHEN p_partkey % 7 = 0 THEN ['club']
+                        ELSE []::VARCHAR[] END))) AS toks,
+               list_sort(list_distinct(string_split(
+                   lower(p_type) || ' ' || p_name, ' '))) AS dtoks,
+               ['https://x.test/' || (p_partkey % 17)::VARCHAR,
+                'https://y.test/' || (p_partkey % 5)::VARCHAR] AS urls,
+               list_sort(list_distinct(
+                   ['t' || (p_partkey % 11)::VARCHAR,
+                    't' || (p_partkey % 7)::VARCHAR,
+                    't' || (p_partkey % 3)::VARCHAR])) AS utoks,
+               list_sort(list_distinct(
+                   ['o' || (p_partkey % 5)::VARCHAR,
+                    'o' || (p_partkey % 3)::VARCHAR,
+                    'o' || (p_partkey % 2)::VARCHAR])) AS occs,
+               list_sort(list_distinct(
+                   ['g' || (p_partkey % 4)::VARCHAR,
+                    'g' || (p_partkey % 6)::VARCHAR])) AS gens,
+               1900 + p_partkey % 100 AS b_y, 1 + p_partkey % 12 AS b_mo,
+               1 + p_partkey % 28 AS b_d, p_partkey % 3 AS b_dep,
+               1950 + p_partkey % 60 AS d_y, 1 + p_partkey % 11 AS d_mo,
+               1 + p_partkey % 27 AS d_d, p_partkey % 2 AS d_dep
+        FROM part WHERE p_partkey % 4 = 0
+    ),
+    pr AS (
+        SELECT a.url AS url_a, b.url AS url_b,
+               a.nm AS a_nm, b.nm AS b_nm,
+               a.toks AS a_toks, b.toks AS b_toks,
+               a.dtoks AS a_dtoks, b.dtoks AS b_dtoks,
+               a.urls AS a_urls, b.urls AS b_urls,
+               a.utoks AS a_ut, b.utoks AS b_ut,
+               a.occs AS a_occ, b.occs AS b_occ,
+               a.gens AS a_gen, b.gens AS b_gen,
+               a.b_y AS a_by, a.b_mo AS a_bmo, a.b_d AS a_bd,
+               a.b_dep AS a_bdep,
+               b.b_y AS b_by, b.b_mo AS b_bmo, b.b_d AS b_bd,
+               b.b_dep AS b_bdep,
+               a.d_y AS a_dy, a.d_mo AS a_dmo, a.d_d AS a_dd,
+               a.d_dep AS a_ddep,
+               b.d_y AS b_dy, b.d_mo AS b_dmo, b.d_d AS b_dd,
+               b.d_dep AS b_ddep
+        FROM side a JOIN side b ON a.block = b.block AND a.pk < b.pk
+    )
+    SELECT url_a, url_b,
+        CASE WHEN a_nm = b_nm THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+            AS name_exact,
+        {lev} AS name_lev,
+        CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
+            / (sqrt(len(a_toks)) * sqrt(len(b_toks))) AS name_cos,
+        (len(list_intersect(a_toks, b_toks))
+            - len(list_intersect(list_intersect(a_toks, b_toks),
+                                 [{band}])) * 0.9::DOUBLE)
+            / len(list_distinct(list_concat(a_toks, b_toks)))
+            AS name_shared,
+        CASE WHEN len(list_intersect(a_urls, b_urls)) > 0
+             THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS url_exact,
+        len(list_intersect(a_ut, b_ut)) / least(len(a_ut), len(b_ut))
+            AS url_tok_shared,
+        {datesim('a_', 'b_', 'by', 'bmo', 'bd', 'bdep')} AS born_sim,
+        {datesim('a_', 'b_', 'dy', 'dmo', 'dd', 'ddep')} AS died_sim,
+        CAST(len(list_intersect(a_dtoks, b_dtoks)) AS DOUBLE)
+            / (sqrt(len(a_dtoks)) * sqrt(len(b_dtoks))) AS desc_cos,
+        len(list_intersect(a_occ, b_occ)) / least(len(a_occ), len(b_occ))
+            AS occ_shared,
+        (len(list_intersect(a_gen, b_gen)) - 0 * 0.9::DOUBLE)
+            / len(list_distinct(list_concat(a_gen, b_gen))) AS genre_shared
+    FROM pr
+    """
+
+
+def _q_logistic_score_sql() -> str:
+    """DuckDB replica of q_logistic_score: replay the IRLS fit on the
+    DuckDB-computed feature matrix (bit-identical to Spark's — that is
+    exactly what the pair_features gate asserts), sorted by the same pair
+    key, with the SAME trainer (classify.train_logistic), then embed the
+    fitted weights as literals in margin arithmetic written in the same
+    left-to-right order as the Spark column expression."""
+    import os
+
+    import duckdb as _duck
+
+    from soweego_spark.operators.classify import train_logistic
+    from soweego_spark.operators.pairfeatures import FEATURE_COLUMNS
+
+    sf_dir = os.environ.get(
+        "SOWEEGO_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM '{sf_dir}/part.parquet'"
+    )
+    res = con.execute(
+        f"""
+        WITH f AS ({_pair_features_sql()})
+        SELECT f.*, CASE WHEN name_cos >= 0.5 THEN 1.0 ELSE 0.0 END AS label
+        FROM f
+        WHERE (CAST(substr(url_a, 2) AS BIGINT) * 31
+               + CAST(substr(url_b, 2) AS BIGINT)) % 3 = 0
+        """
+    )
+    cols = [dsc[0] for dsc in res.description]
+    rows = sorted(res.fetchall(), key=lambda r: (r[0], r[1]))
+    idx = {c: i for i, c in enumerate(cols)}
+    X = np.array(
+        [[r[idx[c]] for c in FEATURE_COLUMNS] for r in rows],
+        dtype=np.float64,
+    )
+    y = np.array([r[idx["label"]] for r in rows], dtype=np.float64)
+    model = train_logistic(X, y)
+    margin = repr(float(model.bias))
+    for name, w in zip(model.features, model.weights):
+        margin += f" + {name} * {repr(float(w))}"
+    return f"""
+    WITH f AS ({_pair_features_sql()})
+    SELECT url_a, url_b, margin FROM (
+        SELECT url_a, url_b, {margin} AS margin FROM f
+    ) WHERE margin >= 0.0
+    """
 
 
 # ------------------------------------------------------------- contract
@@ -1591,6 +2000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bio_dates_validation": q_bio_dates_validation,
         "three_way_outer_join": q_three_way_outer_join,
         "lang_id_ngram": q_lang_id_ngram,
+        "pair_features": q_pair_features,
+        "logistic_score": q_logistic_score,
     }
 
 
@@ -1617,9 +2028,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _Q_EMBEDDING_TOPK_SQL,
         "embedding_neardup": _Q_EMBEDDING_NEARDUP_SQL,
         "embedding_lsh_neardup": _q_embedding_lsh_sql(),
-        # embedding_ivf_topk stays rows-only: iterative k-means centroid
-        # fitting is not ANSI-SQL-expressible; the full-probe==brute-force
-        # invariant and bounded-fit guard are pytest-verified (test_ann.py).
+        # the iterative k-means fit is replayed in numpy at SQL-generation
+        # time and embedded as centroid literals (deterministic: seeded
+        # Lloyd on the whole-table sample); full-probe==brute-force is
+        # additionally pytest-verified (test_ann.py).
+        "embedding_ivf_topk": _q_embedding_ivf_sql(),
         "lang_id": _q_lang_id_sql(),
         "quality_score": _Q_QUALITY_SQL,
         "token_count": _Q_TOKEN_COUNT_SQL,
@@ -1631,4 +2044,6 @@ def oracle_sql() -> dict[str, str]:
         "bio_dates_validation": _Q_BIO_DATES_SQL,
         "three_way_outer_join": _Q_THREE_WAY_SQL,
         "lang_id_ngram": _Q_LANG_NGRAM_SQL,
+        "pair_features": _pair_features_sql(),
+        "logistic_score": _q_logistic_score_sql(),
     }

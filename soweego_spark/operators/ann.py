@@ -54,7 +54,7 @@ TOPK_SCHEMA = StructType(
         StructField("query_id", LongType()),
         StructField("neighbor_id", LongType()),
         StructField("cosine", DoubleType()),
-        StructField("rn", IntegerType()),
+        StructField("rn", LongType()),
     ]
 )
 
@@ -497,7 +497,7 @@ def ivf_topk(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
