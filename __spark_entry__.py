@@ -1116,35 +1116,68 @@ _Q_WINDOWED_EVENTS_SQL = """
 
 
 def q_subset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B2/J4: token-set containment as equi-join + aggregate — ordered
-    pairs (doc_a, doc_b) where doc_a's distinct token set (size > 1) is
-    contained in doc_b's (operators.blocking.subset_token_pairs shape)."""
-    tok = _doc_tokens(_t(spark, sf_dir, "documents"))
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    left = tok.join(sizes, "doc_id").filter(F.col("n_tok") > 1).select(
-        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("a_size"), "token"
+    """B2/J4 via the REAL operator (blocking.subset_token_pairs): ordered
+    pairs (doc_a, doc_b) where doc_a's distinct token set is contained in
+    doc_b's — target side restricted to even doc_ids so the two sides have
+    DIFFERENT document frequencies. Both skew caps run through the full
+    code path (df aggregate + broadcast anti join per side) and the wd cap
+    actually FIRES at the driver's sf0.01 (one over-cap token, result
+    shrinks 11582 -> 3015); dropping any hotter fraction collapses the
+    result to zero on this 31-word corpus because every subset set
+    contains the head tokens, so the target-side cap's semantics are
+    instead proven on planted skew in tests/test_skew.py."""
+    from soweego_spark.operators.blocking import subset_token_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("url"),
+        F.array_remove(
+            F.array_distinct(F.split(F.lower("text"), " ")), ""
+        ).alias("name_tokens"),
     )
-    right = tok.select(F.col("doc_id").alias("doc_b"), "token")
-    return (
-        left.join(right, "token")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "a_size")
-        .agg(F.count("*").alias("n_matched"))
-        .filter(F.col("n_matched") == F.col("a_size"))
-        .select("doc_a", "doc_b")
+    n = docs.count()
+    pairs = subset_token_pairs(
+        docs,
+        docs.filter(F.col("url") % 2 == 0),
+        id_left="doc_b",
+        id_right="doc_a",
+        token_df_cap=int(n * 0.80),
+        target_df_cap=int(n * 0.402),
     )
+    return pairs.select("doc_a", "doc_b")
 
 
 _Q_SUBSET_CONTAINMENT_SQL = f"""
     WITH tok AS ({_DOC_TOKENS_SQL.strip()}),
     tok2 AS (SELECT * FROM tok WHERE token <> ''),
-    sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM tok2 a
-    JOIN sizes sa ON sa.doc_id = a.doc_id AND sa.n_tok > 1
-    JOIN tok2 b ON a.token = b.token AND a.doc_id <> b.doc_id
-    GROUP BY a.doc_id, b.doc_id, sa.n_tok
-    HAVING count(*) = sa.n_tok
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id),
+    wd AS (
+        SELECT t.doc_id, t.token FROM tok2 t
+        JOIN sizes s ON s.doc_id = t.doc_id AND s.n_tok > 1
+    ),
+    tgt AS (
+        SELECT t.doc_id, t.token, s.n_tok FROM tok2 t
+        JOIN sizes s ON s.doc_id = t.doc_id AND s.n_tok > 1
+        WHERE t.doc_id % 2 = 0
+    ),
+    caps AS (
+        SELECT CAST(floor(count(*) * 0.80::DOUBLE) AS BIGINT) AS c_wd,
+               CAST(floor(count(*) * 0.402::DOUBLE) AS BIGINT) AS c_tgt
+        FROM documents
+    ),
+    hot AS (
+        SELECT token FROM wd GROUP BY token
+        HAVING count(*) > (SELECT c_wd FROM caps)
+        UNION
+        SELECT token FROM tgt GROUP BY token
+        HAVING count(*) > (SELECT c_tgt FROM caps)
+    ),
+    wdk AS (
+        SELECT * FROM wd WHERE token NOT IN (SELECT token FROM hot)
+    )
+    SELECT t.doc_id AS doc_a, w.doc_id AS doc_b
+    FROM wdk w JOIN tgt t ON w.token = t.token AND w.doc_id <> t.doc_id
+    GROUP BY t.doc_id, w.doc_id, t.n_tok
+    HAVING count(*) = t.n_tok
 """
 
 

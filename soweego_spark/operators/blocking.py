@@ -49,11 +49,14 @@ def token_blocking(
     """
     idx = sig.select("url", F.explode(token_col).alias("token"))
 
-    # Hot-token guard: document frequency per token, computed once and
-    # joined back (a broadcast-able aggregate at any scale: |vocab| rows).
+    # Hot-token guard: document frequency per token, computed once. The
+    # filter is a broadcast ANTI join on the over-cap tokens — that list is
+    # tiny BY CONSTRUCTION (Zipf head), whereas the under-cap keep-list is
+    # the whole vocabulary, which at web scale is billions of rows and
+    # not broadcastable.
     df_counts = idx.groupBy("token").agg(F.count("*").alias("df"))
-    keep = df_counts.filter(F.col("df") <= token_df_cap).select("token")
-    idx = idx.join(F.broadcast(keep), "token")
+    hot = df_counts.filter(F.col("df") > token_df_cap).select("token")
+    idx = idx.join(F.broadcast(hot), "token", "left_anti")
 
     left = idx.select(F.col("token"), F.col("url").alias("url_a"))
     right = idx.select(F.col("token"), F.col("url").alias("url_b"))
@@ -116,8 +119,8 @@ def url_blocking(sig: DataFrame, url_df_cap: int = 50) -> DataFrame:
         "url", F.explode("urls").alias("out_url")
     )
     counts = idx.groupBy("out_url").agg(F.count("*").alias("df"))
-    keep = counts.filter(F.col("df") <= url_df_cap).select("out_url")
-    idx = idx.join(F.broadcast(keep), "out_url")
+    hot = counts.filter(F.col("df") > url_df_cap).select("out_url")
+    idx = idx.join(F.broadcast(hot), "out_url", "left_anti")
     left = idx.select("out_url", F.col("url").alias("url_a"))
     right = idx.select("out_url", F.col("url").alias("url_b"))
     return _canonical(
@@ -204,8 +207,8 @@ def lsh_blocking(
     ).select("url", "bk.band", "bk.sig")
 
     counts = bands.groupBy("band", "sig").agg(F.count("*").alias("df"))
-    keep = counts.filter(F.col("df") <= band_cap).select("band", "sig")
-    bands = bands.join(F.broadcast(keep), ["band", "sig"])
+    hot = counts.filter(F.col("df") > band_cap).select("band", "sig")
+    bands = bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
 
     left = bands.select("band", "sig", F.col("url").alias("url_a"))
     right = bands.select("band", "sig", F.col("url").alias("url_b"))
@@ -240,6 +243,7 @@ def subset_token_pairs(
     id_right: str = "url_b",
     token_col: str = "name_tokens",
     token_df_cap: int = 10_000,
+    target_df_cap: int | None = None,
 ) -> DataFrame:
     """B2/J4 (baseline.py:332-354 + data_gathering.py:78): pairs where the
     TARGET token set is a subset of the WD token set.
@@ -249,8 +253,17 @@ def subset_token_pairs(
     pandas; the theta join converts to equi-join + aggregate: join on
     token, count matched tokens per pair, keep pairs where the count equals
     the target's token-set size. Token sets of size <= 1 are excluded on
-    both sides (baseline.py:344-347). Hot tokens are capped like
-    token_blocking (skew guard; correctness-neutral for linking).
+    both sides (baseline.py:344-347).
+
+    Hot tokens are capped on BOTH sides (skew guard; correctness-neutral
+    for linking): a token over ``token_df_cap`` on the wd side OR over
+    ``target_df_cap`` (defaults to ``token_df_cap``) on the target side is
+    dropped from the join's wd side, which (a) kills the df_l x df_r
+    fan-out a boilerplate-hot target token would otherwise cause — a
+    single such token can dominate the shuffle at 100x scale — and (b)
+    automatically disqualifies every target set containing it, because
+    ``n_matched`` can no longer reach ``_r_size`` (a pair held together
+    only by a boilerplate token carries no subset signal).
     """
     l_tok = (
         wd.filter(F.size(token_col) > 1)
@@ -265,9 +278,22 @@ def subset_token_pairs(
         id_right, "_r_size", F.explode("_r_tokens").alias("token")
     )
 
-    df_counts = l_tok.groupBy("token").agg(F.count("*").alias("df"))
-    keep = df_counts.filter(F.col("df") <= token_df_cap).select("token")
-    l_tok = l_tok.join(F.broadcast(keep), "token")
+    # Over-cap token lists are tiny by construction (Zipf head) -> anti
+    # join on the broadcast hot list, never a broadcast of the full vocab.
+    hot_l = (
+        l_tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > token_df_cap)
+        .select("token")
+    )
+    hot_r = (
+        r_tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > (target_df_cap or token_df_cap))
+        .select("token")
+    )
+    hot = hot_l.unionByName(hot_r).distinct()
+    l_tok = l_tok.join(F.broadcast(hot), "token", "left_anti")
 
     matched = (
         l_tok.join(r_tok, "token")

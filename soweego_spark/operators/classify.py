@@ -642,7 +642,11 @@ def train_slp(
             t += 1
             m = b1 * m + (1 - b1) * g
             v = b2 * v + (1 - b2) * g * g
-            m_hat = (b1 * m + (1 - b1) * g) / (1 - b1 ** (t + 1))
+            # published Nadam (Dozat 2016, eq. 14): the momentum term uses
+            # the NEXT step's bias correction, the raw-gradient term the
+            # CURRENT step's — correcting both by (1 - b1^(t+1)) is a
+            # small systematic early-step deviation
+            m_hat = b1 * m / (1 - b1 ** (t + 1)) + (1 - b1) * g / (1 - b1**t)
             v_hat = v / (1 - b2**t)
             w -= lr * m_hat / (np.sqrt(v_hat) + eps)
         pv = 1.0 / (1.0 + np.exp(-np.clip(Xvb @ w, -35, 35)))

@@ -20,6 +20,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Release the RDD a ``localCheckpoint()`` pinned.
+
+    ``localCheckpoint`` PERSISTS its internal RDD and ``df.rdd.unpersist()``
+    does NOT release it (that is a derived deserialization RDD, verified).
+    The persisted one is the checkpointed plan's ``LogicalRDD.rdd``; going
+    through the JVM plan is the only handle PySpark exposes. Best-effort:
+    if the plan shape ever changes, fall back to GC/ContextCleaner.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every neighbor v > u to m = min(N(u) ∪ {u})."""
     sym = edges.select(
@@ -84,7 +99,14 @@ def connected_components(
 
     fp = _fingerprint(e)
     for _ in range(max_iterations):
+        prev = e
         e = _small_star(_large_star(e)).localCheckpoint()
+        # Without an explicit unpersist every iteration's edge set stays
+        # pinned in executor memory until GC/ContextCleaner happens to run
+        # — nondeterministic pressure on long chains at scale. The new
+        # checkpoint has already materialized (eager by default), so
+        # dropping the previous one is safe.
+        _unpersist_checkpoint(prev)
         fp_new = _fingerprint(e)
         if fp_new == fp:
             break

@@ -140,27 +140,55 @@ def paged_scan(
 
 # --------------------------------------------------------------- S13/S14
 
-def jsonl_dir_emitter(path: str) -> Callable[[int, list[dict]], None]:
+class jsonl_dir_emitter:
     """Offline default sink: one JSONL payload file per partition — the
     exact statement batches a Wikidata-bot / Mix'n'match upload run would
     send, written to disk instead (external writes are out of scope by
-    policy)."""
-    os.makedirs(path, exist_ok=True)
-    started: set[int] = set()  # per-task closure copy -> per-task state
+    policy).
 
-    def emit(partition_id: int, rows: list[dict]) -> None:
-        out = os.path.join(path, f"part-{partition_id:05d}.jsonl")
-        # truncate on the task's FIRST batch: a retried/speculated task
-        # rewrites its partition file instead of appending duplicates
-        # (foreachPartition is at-least-once; deterministic file-per-
-        # partition naming makes the rewrite idempotent)
-        mode = "a" if partition_id in started else "w"
-        started.add(partition_id)
-        with open(out, mode, encoding="utf8") as fh:
+    Speculative-execution-safe: each task ATTEMPT streams its batches into
+    an attempt-unique temp file (``taskAttemptId`` is globally unique) and
+    ``finalize`` renames it into place atomically when the attempt
+    completes — two concurrent attempts of the same partition can no
+    longer interleave writes into one file; whichever finishes last wins
+    whole-file (both wrote identical content from the same partition).
+    Plain truncate-then-append is only retry-safe for SEQUENTIAL retries.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        # per-task closure copy -> per-task state
+        self._started: set[tuple[int, int]] = set()
+
+    @staticmethod
+    def _attempt_id() -> int:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        return int(ctx.taskAttemptId()) if ctx is not None else 0
+
+    def _tmp(self, partition_id: int, attempt: int) -> str:
+        return os.path.join(
+            self.path, f"part-{partition_id:05d}.attempt-{attempt}.jsonl.tmp"
+        )
+
+    def _final(self, partition_id: int) -> str:
+        return os.path.join(self.path, f"part-{partition_id:05d}.jsonl")
+
+    def __call__(self, partition_id: int, rows: list[dict]) -> None:
+        att = self._attempt_id()
+        key = (partition_id, att)
+        mode = "a" if key in self._started else "w"
+        self._started.add(key)
+        with open(self._tmp(partition_id, att), mode, encoding="utf8") as fh:
             for r in rows:
                 fh.write(json.dumps(r, sort_keys=True, default=str) + "\n")
 
-    return emit
+    def finalize(self, partition_id: int) -> None:
+        tmp = self._tmp(partition_id, self._attempt_id())
+        if os.path.exists(tmp):
+            os.replace(tmp, self._final(partition_id))
 
 
 def emit_statements(
@@ -184,5 +212,10 @@ def emit_statements(
                 batch = []
         if batch:
             emitter(pid, batch)
+        # attempt-scoped sinks (jsonl_dir_emitter) publish their temp file
+        # atomically once the attempt has streamed every batch
+        finalize = getattr(emitter, "finalize", None)
+        if finalize is not None:
+            finalize(pid)
 
     df.foreachPartition(handle)

@@ -84,3 +84,21 @@ def test_duplicate_and_self_edges_ignored(spark):
     nodes = ["a", "b", "c"]
     edges = [("a", "b"), ("a", "b"), ("b", "a"), ("c", "c")]
     _check(spark, nodes, edges)
+
+
+def test_cc_loop_releases_checkpoint_rdds(spark):
+    """Each iteration localCheckpoints the edge set; the loop must
+    unpersist the PREVIOUS iteration's pinned RDD (localCheckpoint
+    persists, it is not a cache-leak fix — build note). A long chain
+    forces multiple iterations; afterwards at most the FINAL checkpoint
+    may remain persisted."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(120)],
+        "url_a string, url_b string",
+    )
+    out = connected_components(edges)
+    assert out.select("cluster_id").distinct().count() == 1
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before + 1, (before, after)

@@ -78,6 +78,47 @@ def test_lsh_blocking_band_cap(spark):
     assert pairs.count() <= 6
 
 
+def test_subset_pairs_target_side_hot_token_capped(spark):
+    """A token that is boilerplate-hot on the TARGET side but under-cap on
+    the wd side must not fan out df_l x df_r: the symmetric cap drops it,
+    which also disqualifies every target set containing it (a pair held
+    together only by a boilerplate token carries no subset signal)."""
+    wd_rows = [("w1", ["boiler", "alpha"]), ("w2", ["beta", "gamma"])]
+    tgt_rows = [(f"t{i:03d}", ["boiler", "alpha"]) for i in range(200)]
+    tgt_rows += [("tok2", ["beta", "gamma"])]
+    wd = spark.createDataFrame(wd_rows, "url string, name_tokens array<string>")
+    tgt = spark.createDataFrame(tgt_rows, "url string, name_tokens array<string>")
+
+    capped = blk.subset_token_pairs(
+        wd, tgt, token_df_cap=1000, target_df_cap=100
+    )
+    got = {(r["url_a"], r["url_b"]) for r in capped.collect()}
+    # 'boiler' df=200 on the target side (> 100) while df=1 on the wd side:
+    # without the target cap, 200 target sets subset-match w1 (the round-2
+    # one-sided-cap behavior, fan-out 1 x 200 per hot token at scale).
+    assert got == {("w2", "tok2")}
+
+    uncapped = blk.subset_token_pairs(
+        wd, tgt, token_df_cap=1000, target_df_cap=1000
+    )
+    assert uncapped.count() == 201  # proves the planted fan-out was real
+
+
+def test_subset_pairs_wd_side_cap_still_applies(spark):
+    """The original wd-side cap is unchanged by the symmetric guard."""
+    wd_rows = [(f"w{i:03d}", ["hotwd", f"n{i}"]) for i in range(150)]
+    wd_rows += [("wx", ["cold", "pair"])]
+    tgt_rows = [("ty", ["hotwd"]), ("tz", ["cold", "pair"])]
+    wd = spark.createDataFrame(wd_rows, "url string, name_tokens array<string>")
+    tgt = spark.createDataFrame(tgt_rows, "url string, name_tokens array<string>")
+    out = blk.subset_token_pairs(wd, tgt, token_df_cap=100, target_df_cap=100)
+    got = {(r["url_a"], r["url_b"]) for r in out.collect()}
+    # 'ty' has a single token -> excluded by the size>1 rule anyway; 'tz'
+    # matches only the cold wd doc; 'hotwd' (df=150 > 100) contributes no
+    # pairs.
+    assert got == {("wx", "tz")}
+
+
 def test_token_blocking_leaves_no_cached_rdds(spark):
     """blocking.py caches its shared pair aggregate internally; repeated
     calls in a long-lived session must not accumulate persisted RDDs."""

@@ -261,3 +261,40 @@ def test_emit_statements_batched(spark, tmpdir):
             rows += [json.loads(line) for line in fh]
     assert sorted(r["qid"] for r in rows) == list(range(57))
     assert all(set(r) == {"qid", "pid", "value"} for r in rows)
+
+
+def test_jsonl_emitter_concurrent_attempts_dont_corrupt(tmpdir):
+    """Two concurrent attempts of the same partition (speculative
+    execution) each stream into an attempt-unique temp file; interleaved
+    writes cannot corrupt the published file, and whichever attempt
+    finalizes last wins whole-file."""
+    import glob
+    import json
+
+    from soweego_spark.sources import remote as rm
+
+    out = f"{tmpdir}/payloads"
+    em = rm.jsonl_dir_emitter(out)
+    rows_a = [{"qid": i, "v": f"a{i}"} for i in range(20)]
+    rows_b = [{"qid": i, "v": f"a{i}"} for i in range(20)]  # same content
+
+    # interleave two attempts of partition 0
+    attempt = {"id": 1}
+    em._attempt_id = lambda: attempt["id"]  # noqa: SLF001 — test seam
+    em(0, rows_a[:10])
+    attempt["id"] = 2
+    em(0, rows_b[:10])
+    attempt["id"] = 1
+    em(0, rows_a[10:])
+    attempt["id"] = 2
+    em(0, rows_b[10:])
+    em.finalize(0)  # attempt 2 publishes
+    attempt["id"] = 1
+    em.finalize(0)  # attempt 1 re-publishes (last writer, whole file)
+
+    files = glob.glob(f"{out}/part-*.jsonl")
+    assert len(files) == 1
+    with open(files[0]) as fh:
+        got = [json.loads(line) for line in fh]
+    assert sorted(r["qid"] for r in got) == list(range(20))
+    assert not glob.glob(f"{out}/*.tmp")
