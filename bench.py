@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "url_blacklist",
     "three_way_outer_join",
     "lang_id_ngram",
+    "pair_features",
+    "logistic_score",
 ]
 
 

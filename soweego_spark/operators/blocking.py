@@ -41,6 +41,7 @@ def token_blocking(
     top_k: int = 5,
     token_df_cap: int = 1000,
     token_col: str = "name_tokens",
+    dedup: bool = True,
 ) -> DataFrame:
     """Inverted-index self-join on name tokens with per-doc top-k.
 
@@ -102,7 +103,7 @@ def token_blocking(
         mirrored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_k)
     )
-    return kept.select(
+    out = kept.select(
         F.when(F.col("dir") == "gt", F.col("key"))
         .otherwise(F.col("other"))
         .alias("url_a"),
@@ -110,10 +111,16 @@ def token_blocking(
         .otherwise(F.col("key"))
         .alias("url_b"),
         "shared_tokens",
-    ).distinct()
+    )
+    # a pair kept from BOTH mirror directions appears twice; callers that
+    # union several key families and dedup once at the end (see
+    # block_candidates) skip this shuffle via dedup=False
+    return out.distinct() if dedup else out
 
 
-def url_blocking(sig: DataFrame, url_df_cap: int = 50) -> DataFrame:
+def url_blocking(
+    sig: DataFrame, url_df_cap: int = 50, dedup: bool = True
+) -> DataFrame:
     """Documents sharing an exact outbound URL."""
     idx = sig.filter(F.col("urls").isNotNull()).select(
         "url", F.explode("urls").alias("out_url")
@@ -123,9 +130,10 @@ def url_blocking(sig: DataFrame, url_df_cap: int = 50) -> DataFrame:
     idx = idx.join(F.broadcast(hot), "out_url", "left_anti")
     left = idx.select("out_url", F.col("url").alias("url_a"))
     right = idx.select("out_url", F.col("url").alias("url_b"))
-    return _canonical(
+    out = _canonical(
         left.join(right, "out_url").filter(F.col("url_a") < F.col("url_b"))
-    ).distinct()
+    )
+    return out.distinct() if dedup else out
 
 
 def shingles(col, n: int = 3):
@@ -169,6 +177,7 @@ def lsh_blocking(
     rows_per_band: int = 2,
     band_cap: int = 200,
     shingle_size: int = 3,
+    dedup: bool = True,
 ) -> DataFrame:
     """MinHash-LSH band blocking over a text expression.
 
@@ -212,9 +221,10 @@ def lsh_blocking(
 
     left = bands.select("band", "sig", F.col("url").alias("url_a"))
     right = bands.select("band", "sig", F.col("url").alias("url_b"))
-    return _canonical(
+    out = _canonical(
         left.join(right, ["band", "sig"]).filter(F.col("url_a") < F.col("url_b"))
-    ).distinct()
+    )
+    return out.distinct() if dedup else out
 
 
 def block_candidates(
@@ -225,14 +235,19 @@ def block_candidates(
     use_url_key: bool = True,
 ) -> DataFrame:
     """Union of all blocking keys -> distinct candidate pairs
-    (url_a, url_b) with url_a < url_b."""
-    pairs = token_blocking(sig, top_k=top_k, token_df_cap=token_df_cap).select(
-        "url_a", "url_b"
-    )
+    (url_a, url_b) with url_a < url_b.
+
+    Each family skips its internal dedup shuffle (dedup=False): the single
+    distinct AFTER the union dedups within and across families at once —
+    one Exchange of the pair set instead of up to four.
+    """
+    pairs = token_blocking(
+        sig, top_k=top_k, token_df_cap=token_df_cap, dedup=False
+    ).select("url_a", "url_b")
     if use_url_key:
-        pairs = pairs.unionByName(url_blocking(sig))
+        pairs = pairs.unionByName(url_blocking(sig, dedup=False))
     if use_lsh:
-        pairs = pairs.unionByName(lsh_blocking(sig))
+        pairs = pairs.unionByName(lsh_blocking(sig, dedup=False))
     return pairs.distinct()
 
 

@@ -149,13 +149,16 @@ def collect_training_matrix(
     """
     # Broadcast the labeled side: it is small by construction, so the big
     # feature table is probed map-side instead of shuffled on the pair key.
-    rows = (
+    # Arrow toPandas instead of collect(): row-at-a-time Row pickling was
+    # the bulk of the training stage's wall (~6s of 7.6s at 91k rows,
+    # profiled); the columnar transfer is one numpy copy.
+    pdf = (
         features.join(F.broadcast(labeled), ["url_a", "url_b"])
         .select(*FEATURE_COLUMNS, "label")
-        .collect()
+        .toPandas()
     )
-    X = np.array([[r[c] for c in FEATURE_COLUMNS] for r in rows])
-    y = np.array([r["label"] for r in rows], dtype=np.float64)
+    X = pdf[FEATURE_COLUMNS].to_numpy(dtype=np.float64)
+    y = pdf["label"].to_numpy(dtype=np.float64)
     return X, y
 
 
