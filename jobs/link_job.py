@@ -75,7 +75,20 @@ def main() -> None:
         labeled = spark.read.parquet(args.labeled)
 
     ck = (
-        StageCheckpointer(args.checkpoints, spark)
+        StageCheckpointer(
+            args.checkpoints,
+            spark,
+            # signatures is the repeatedly re-joined side of pair assembly:
+            # persist it bucketed by url so a RESUMED run's blocking /
+            # assemble joins read it Exchange-free
+            bucket_specs={
+                "signatures": {
+                    "bucket_cols": ["url"],
+                    "sort_cols": ["url"],
+                    "n_buckets": 32,
+                }
+            },
+        )
         if args.checkpoints
         else None
     )

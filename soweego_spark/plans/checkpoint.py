@@ -29,16 +29,64 @@ def config_hash(config: dict) -> str:
 
 
 class StageCheckpointer:
-    """Directory-per-stage checkpoint store."""
+    """Directory-per-stage checkpoint store.
 
-    def __init__(self, root: str | Path, spark: SparkSession):
+    ``bucket_specs`` opts designated stages into BUCKETED persistence:
+    ``{"signatures": {"bucket_cols": ["url"], "sort_cols": ["url"],
+    "n_buckets": 32}}`` writes that stage as a bucketed parquet table, so
+    a RESUMED run's joins against it start Exchange-free on the
+    checkpointed side (the signatures table is the repeatedly re-joined
+    side of pair assembly; at 10^12 rows re-shuffling it on every resume
+    is the dominant avoidable cost). The bucket layout survives session
+    restarts: the manifest records the spec + schema DDL and ``load``
+    re-registers the external bucketed table in the (session-local)
+    catalog before reading it back.
+    """
+
+    def __init__(
+        self,
+        root: str | Path,
+        spark: SparkSession,
+        bucket_specs: dict[str, dict] | None = None,
+    ):
         self.root = Path(root)
         self.spark = spark
+        self.bucket_specs = bucket_specs or {}
         self.root.mkdir(parents=True, exist_ok=True)
 
     def _paths(self, stage: str) -> tuple[Path, Path]:
         d = self.root / stage
         return d, d / MANIFEST_NAME
+
+    def _table_name(self, stage: str) -> str:
+        tag = hashlib.sha256(
+            str(self.root.resolve()).encode("utf8")
+        ).hexdigest()[:10]
+        return f"soweego_ckpt_{tag}_{stage}"
+
+    def _register_bucketed(
+        self, stage: str, manifest: dict, data_dir: Path
+    ) -> DataFrame:
+        """(Re-)register the external bucketed table in this session's
+        catalog and return it — required after a restart because the
+        in-memory catalog does not persist, while the bucketed FILE layout
+        on disk does."""
+        tbl = self._table_name(stage)
+        spec = manifest["bucket_spec"]
+        if not self.spark.catalog.tableExists(tbl):
+            sort = (
+                f"SORTED BY ({', '.join(spec['sort_cols'])}) "
+                if spec.get("sort_cols")
+                else ""
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({manifest['schema_ddl']}) "
+                f"USING PARQUET "
+                f"CLUSTERED BY ({', '.join(spec['bucket_cols'])}) "
+                f"{sort}INTO {spec['n_buckets']} BUCKETS "
+                f"LOCATION '{data_dir}'"
+            )
+        return self.spark.table(tbl)
 
     def load(self, stage: str, cfg_hash: str) -> DataFrame | None:
         d, mf = self._paths(stage)
@@ -47,13 +95,34 @@ class StageCheckpointer:
         manifest = json.loads(mf.read_text())
         if manifest.get("config_hash") != cfg_hash:
             return None
+        if manifest.get("bucket_spec"):
+            return self._register_bucketed(stage, manifest, d / "data")
         return self.spark.read.parquet(str(d / "data"))
 
     def save(self, stage: str, df: DataFrame, cfg_hash: str) -> DataFrame:
         d, mf = self._paths(stage)
         data_dir = d / "data"
-        df.write.mode("overwrite").parquet(str(data_dir))
-        persisted = self.spark.read.parquet(str(data_dir))
+        spec = self.bucket_specs.get(stage)
+        schema_ddl = None
+        if spec:
+            from soweego_spark.sources.readers import write_bucketed_table
+
+            tbl = self._table_name(stage)
+            # drop any stale catalog entry so LOCATION can move with root
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            write_bucketed_table(
+                df,
+                tbl,
+                list(spec["bucket_cols"]),
+                n_buckets=int(spec.get("n_buckets", 32)),
+                sort_cols=list(spec.get("sort_cols") or []) or None,
+                path=str(data_dir),
+            )
+            persisted = self.spark.table(tbl)
+            schema_ddl = persisted._jdf.schema().toDDL()
+        else:
+            df.write.mode("overwrite").parquet(str(data_dir))
+            persisted = self.spark.read.parquet(str(data_dir))
         # Per-partition lineage counters (north rule): rows per output file
         # partition, recorded in the manifest.
         per_part = (
@@ -67,6 +136,13 @@ class StageCheckpointer:
             "row_count": int(sum(r["count"] for r in per_part)),
             "partitions": {str(r["partition"]): int(r["count"]) for r in per_part},
         }
+        if spec:
+            manifest["bucket_spec"] = {
+                "bucket_cols": list(spec["bucket_cols"]),
+                "sort_cols": list(spec.get("sort_cols") or []),
+                "n_buckets": int(spec.get("n_buckets", 32)),
+            }
+            manifest["schema_ddl"] = schema_ddl
         mf.write_text(json.dumps(manifest, indent=2, sort_keys=True))
         return persisted
 

@@ -102,3 +102,60 @@ def test_lineage_manifests_exposed(spark, root):
     assert res.lineage["signatures"]["row_count"] == res.signatures.count()
     for mf in res.lineage.values():
         assert sum(mf["partitions"].values()) == mf["row_count"]
+
+
+def test_bucketed_signature_checkpoint_resumes_exchange_free(spark, root):
+    """A resumed run loads the signatures checkpoint as a BUCKETED table:
+    joining it on the bucket key plans with no Exchange on the signature
+    side — even after the catalog entry is dropped (a fresh session), the
+    manifest re-registers the external bucketed table."""
+    from pyspark.sql import functions as F
+
+    spec = {"signatures": {"bucket_cols": ["url"], "sort_cols": ["url"],
+                           "n_buckets": 8}}
+    sig = spark.createDataFrame(
+        [(f"u{i:03d}", [f"t{i % 5}", "x"]) for i in range(200)],
+        "url string, name_tokens array<string>",
+    )
+    ck1 = StageCheckpointer(root, spark, bucket_specs=spec)
+    ck1.stage("signatures", {"v": 1}, lambda: sig)
+    assert ck1.manifest("signatures")["bucket_spec"]["n_buckets"] == 8
+
+    # simulate a fresh session: drop the catalog entry, keep the files
+    spark.sql(f"DROP TABLE IF EXISTS {ck1._table_name('signatures')}")
+
+    ck2 = StageCheckpointer(root, spark, bucket_specs=spec)
+    loaded = ck2.stage("signatures", {"v": 1}, lambda: (_ for _ in ()).throw(
+        AssertionError("resume must not recompute")))
+    assert loaded.count() == 200
+
+    pairs = spark.createDataFrame(
+        [(f"u{i:03d}", i) for i in range(200)], "url string, v long"
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = loaded.join(pairs, "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert joined.count() == 200
+        # exactly ONE Exchange: the non-bucketed pairs side; the bucketed
+        # checkpoint side must plan shuffle-free
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
+def test_bucketed_checkpoint_roundtrip_matches_plain(spark, root):
+    """Bucketed persistence is a layout choice, not a semantic one."""
+    df = spark.createDataFrame(
+        [(f"u{i}", float(i)) for i in range(57)], "url string, score double"
+    )
+    plain = StageCheckpointer(f"{root}/plain", spark)
+    buck = StageCheckpointer(
+        f"{root}/buck", spark,
+        bucket_specs={"s": {"bucket_cols": ["url"], "n_buckets": 4}},
+    )
+    a = plain.stage("s", {}, lambda: df)
+    b = buck.stage("s", {}, lambda: df)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert plain.manifest("s")["row_count"] == buck.manifest("s")["row_count"]
