@@ -137,8 +137,9 @@ def match_bio_claims(
     once, scanning in (wd_idx, t_idx) order — are the reference's EXACT
     sequential used-index-set walk (see :func:`greedy_first_match`). The
     reference's fallback QID resolution for unmatched values
-    (checks.py:913-917) is a live API call: out of scope here; unmatched
-    target rows are simply absent from the output.
+    (checks.py:913-917) composes on top: feed this function's output to
+    :func:`resolve_unmatched_claims` (injected resolver — the live API
+    call has no place in executors here).
 
     Output: (tid, pid, qid, wd_idx, t_idx) — the 'shared' statement pairs.
     """
@@ -148,6 +149,75 @@ def match_bio_claims(
     cands = j.select("tid", "wd_idx", "t_idx", "pid", "qid")
     return greedy_first_match(cands, ["pid", "qid"]).select(
         "tid", "pid", "qid", "wd_idx", "t_idx"
+    )
+
+
+def resolve_unmatched_claims(
+    target_claims: DataFrame,
+    matched: DataFrame,
+    resolver=None,
+) -> DataFrame:
+    """SO2 fallback (checks.py:913-917): target statements that found no
+    wd counterpart get their normalized value resolved to a QID; the
+    resolvable ones become 'extra' statements ``(tid, pid, t_qid)`` — the
+    set the reference queues for addition to Wikidata.
+
+    ``resolver(values: list[str]) -> list[str | None]`` is the injected
+    equivalent of the reference's live ``api_requests.resolve_qid`` (S7/S8
+    pattern: no network in this sandbox, and at scale the lookup belongs
+    on the executors anyway). It runs Arrow-batched over the DISTINCT
+    unmatched values — one call per batch, never per row, and repeated
+    boilerplate values resolve once. The offline default resolves values
+    shaped like ``q<digits>`` to the uppercase QID and returns None
+    otherwise (deterministic; the distribution/batching plumbing is what
+    this operator owns).
+
+    ``matched`` is :func:`match_bio_claims` output (consumes its
+    ``tid``/``t_idx`` columns).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if resolver is None:
+
+        def resolver(values):
+            out = []
+            for v in values:
+                s = (v or "").strip()
+                out.append(
+                    s.upper()
+                    if s[:1] in ("q", "Q") and s[1:].isdigit()
+                    else None
+                )
+            return out
+
+    unmatched = target_claims.join(
+        matched.select("tid", "t_idx").distinct(),
+        ["tid", "t_idx"],
+        "left_anti",
+    )
+    vals = unmatched.select("t_value").distinct()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "t_value": pdf["t_value"],
+                    "t_qid": pd.Series(
+                        resolver(list(pdf["t_value"])), dtype="object"
+                    ),
+                }
+            )
+
+    resolved = vals.mapInPandas(run, schema="t_value string, t_qid string")
+    return (
+        unmatched.join(resolved, "t_value")
+        .filter(F.col("t_qid").isNotNull())
+        .select("tid", "pid", "t_qid")
+        .distinct()
     )
 
 

@@ -279,3 +279,60 @@ def test_greedy_first_match_random_vs_python_replay(spark):
             ut.add(t)
             expected.add((tid, w, t))
     assert got == expected
+
+
+def test_resolve_unmatched_claims_fallback(spark):
+    """SO2 fallback (checks.py:913-917): unmatched target values resolve
+    through the injected resolver; resolvable ones surface as distinct
+    (tid, pid, t_qid) extras, matched rows never reach the resolver."""
+    from soweego_spark.operators.validator import (
+        match_bio_claims,
+        resolve_unmatched_claims,
+    )
+
+    wd = spark.createDataFrame(
+        [(1, 0, "occupation", "Q100", ["singer"])],
+        "tid long, wd_idx long, pid string, qid string, values array<string>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (1, 0, "occupation", "singer"),     # matches -> consumed
+            (1, 1, "occupation", "q42"),        # unmatched, resolvable
+            (1, 2, "occupation", "q42"),        # duplicate value -> one extra
+            (1, 3, "occupation", "gibberish"),  # unmatched, unresolvable
+            (2, 0, "genre", "q7"),              # no wd at all -> resolvable
+        ],
+        "tid long, t_idx long, pid string, t_value string",
+    )
+    matched = match_bio_claims(wd, tgt)
+    extra = {
+        (r["tid"], r["pid"], r["t_qid"])
+        for r in resolve_unmatched_claims(tgt, matched).collect()
+    }
+    assert extra == {(1, "occupation", "Q42"), (2, "genre", "Q7")}
+
+
+def test_resolve_unmatched_claims_custom_resolver_batched(spark):
+    """The injected resolver sees value BATCHES (one call per Arrow batch
+    over distinct values), mirroring the S7/S8 injected-I/O pattern."""
+    from soweego_spark.operators.validator import resolve_unmatched_claims
+
+    tgt = spark.createDataFrame(
+        [(1, i, "p", f"v{i % 4}") for i in range(40)],
+        "tid long, t_idx long, pid string, t_value string",
+    )
+    empty_matched = spark.createDataFrame(
+        [], "tid long, t_idx long, pid string, qid string, wd_idx long"
+    )
+
+    def resolver(values):
+        assert isinstance(values, list) and len(values) >= 1
+        return [f"Q{v[1:]}" if v.startswith("v") else None for v in values]
+
+    got = {
+        (r["tid"], r["pid"], r["t_qid"])
+        for r in resolve_unmatched_claims(
+            tgt, empty_matched, resolver=resolver
+        ).collect()
+    }
+    assert got == {(1, "p", f"Q{i}") for i in range(4)}
