@@ -1975,6 +1975,176 @@ def _q_logistic_score_sql() -> str:
     """
 
 
+def q_statement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 statement planning under the hash gate: the wikidata-bot
+    decision matrix (operators/ingest.plan_claim_additions — add_claim vs
+    add_reference vs official-website reference vs case-insensitive social
+    IDs vs dead subjects, plus _parse_value typing) over synthetic
+    proposed/existing claim tables derived from orders/customer. Struct
+    and array outputs are flattened to scalar columns for engine-neutral
+    hashing; the reference-node array shape is pytest-gated
+    (tests/test_ingest.py)."""
+    from soweego_spark.operators.ingest import (
+        parse_statement_value,
+        plan_claim_additions,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    pid = (
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("P2013"))
+        .when(F.col("o_orderkey") % 3 == 0, F.lit("P856"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("P345"))
+        .otherwise(F.lit("P1476"))
+    )
+    value = (
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat(F.lit("Q"), (F.col("o_orderkey") % 500).cast("string")),
+        )
+        .when(
+            F.col("o_orderkey") % 5 == 0,
+            F.concat(
+                F.lit("19"),
+                F.lpad((F.col("o_orderkey") % 100).cast("string"), 2, "0"),
+                F.lit("-01-15/11"),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 11 == 0,
+            F.concat(F.lit("Handle"), (F.col("o_orderkey") % 40).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("v"), (F.col("o_orderkey") % 60).cast("string"))
+        )
+    )
+    base = orders.select(
+        F.concat(F.lit("Q"), F.col("o_custkey").cast("string")).alias("qid"),
+        pid.alias("pid"),
+        value.alias("value"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    # existing claims: even orders, values lowercased (so the social-pid
+    # rows only match case-insensitively); proposed: odd orders
+    existing = base.filter(F.col("ok") % 2 == 0).select(
+        "qid", "pid", F.lower(F.col("value")).alias("value")
+    )
+    proposed = base.filter(F.col("ok") % 2 == 1).select(
+        "qid", "pid", "value",
+        F.concat(F.lit("t"), F.col("ok").cast("string")).alias("catalog_id"),
+    )
+    dead = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        F.concat(F.lit("Q"), F.col("c_custkey").cast("string")).alias("qid")
+    )
+    plan = plan_claim_additions(
+        proposed,
+        existing,
+        heuristic="Q1266546",
+        retrieved="2026-08-16",
+        catalog_qid="Q14005",
+        catalog_pid="P1953",
+        dead_qids=dead,
+    )
+    return plan.select(
+        "qid", "pid", "value", "catalog_id", "action", "ref_target_pid",
+        F.col("parsed_value.value_type").alias("value_type"),
+        F.col("parsed_value.item_qid").alias("item_qid"),
+        F.col("parsed_value.time_value").alias("time_value"),
+        F.col("parsed_value.time_precision").cast("long").alias(
+            "time_precision"
+        ),
+        F.col("parsed_value.string_value").alias("string_value"),
+    )
+
+
+_Q_STATEMENT_PLAN_SQL = """
+    WITH base AS (
+        SELECT 'Q' || o_custkey::VARCHAR AS qid,
+               CASE WHEN o_orderkey % 11 = 0 THEN 'P2013'
+                    WHEN o_orderkey % 3 = 0 THEN 'P856'
+                    WHEN o_orderkey % 3 = 1 THEN 'P345'
+                    ELSE 'P1476' END AS pid,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN 'Q' || (o_orderkey % 500)::VARCHAR
+                    WHEN o_orderkey % 5 = 0
+                    THEN '19' || lpad((o_orderkey % 100)::VARCHAR, 2, '0')
+                         || '-01-15/11'
+                    WHEN o_orderkey % 11 = 0
+                    THEN 'Handle' || (o_orderkey % 40)::VARCHAR
+                    ELSE 'v' || (o_orderkey % 60)::VARCHAR END AS value,
+               o_orderkey AS ok
+        FROM orders
+    ),
+    existing AS (
+        SELECT qid, pid, lower(value) AS value FROM base WHERE ok % 2 = 0
+    ),
+    proposed AS (
+        SELECT qid, pid, value, 't' || ok::VARCHAR AS catalog_id
+        FROM base WHERE ok % 2 = 1
+    ),
+    dead AS (
+        SELECT 'Q' || c_custkey::VARCHAR AS qid FROM customer
+        WHERE c_custkey % 97 = 0
+    ),
+    same_claim AS (
+        SELECT DISTINCT qid, pid,
+               CASE WHEN pid IN ('P2013', 'P2002') THEN lower(value)
+                    ELSE value END AS norm
+        FROM existing
+    ),
+    same_website AS (
+        SELECT DISTINCT qid, value AS norm FROM existing WHERE pid = 'P856'
+    ),
+    joined AS (
+        SELECT p.qid, p.pid, p.value, p.catalog_id,
+               d.qid IS NOT NULL AS is_dead,
+               sw.norm IS NOT NULL AS has_website,
+               sc.norm IS NOT NULL AS has_claim
+        FROM proposed p
+        LEFT JOIN dead d ON d.qid = p.qid
+        LEFT JOIN same_website sw
+               ON sw.qid = p.qid
+              AND sw.norm = CASE WHEN p.pid IN ('P2013', 'P2002')
+                                 THEN lower(p.value) ELSE p.value END
+        LEFT JOIN same_claim sc
+               ON sc.qid = p.qid AND sc.pid = p.pid
+              AND sc.norm = CASE WHEN p.pid IN ('P2013', 'P2002')
+                                 THEN lower(p.value) ELSE p.value END
+    ),
+    typed AS (
+        SELECT *,
+               regexp_extract(value, '^Q\\d+', 0) AS qpfx,
+               regexp_extract(value, '^(\\d{4}-\\d{2}-\\d{2})/(\\d+)$', 1)
+                   AS dstr,
+               regexp_extract(value, '^(\\d{4}-\\d{2}-\\d{2})/(\\d+)$', 2)
+                   AS dprec
+        FROM joined
+    )
+    SELECT qid, pid, value, catalog_id,
+           CASE WHEN is_dead THEN 'skip_dead'
+                WHEN has_website THEN 'add_reference'
+                WHEN has_claim THEN 'add_reference'
+                ELSE 'add_claim' END AS action,
+           CASE WHEN is_dead THEN NULL
+                WHEN has_website THEN 'P856'
+                ELSE pid END AS ref_target_pid,
+           CASE WHEN qpfx <> '' THEN 'item'
+                WHEN dstr <> '' AND TRY_CAST(dstr AS DATE) IS NOT NULL
+                THEN 'time' ELSE 'string' END AS value_type,
+           CASE WHEN qpfx <> '' THEN qpfx END AS item_qid,
+           CASE WHEN qpfx = '' AND dstr <> ''
+                THEN TRY_CAST(dstr AS DATE) END AS time_value,
+           CASE WHEN qpfx = '' AND dstr <> ''
+                     AND TRY_CAST(dstr AS DATE) IS NOT NULL
+                THEN dprec::BIGINT END AS time_precision,
+           CASE WHEN qpfx = ''
+                     AND NOT (dstr <> '' AND TRY_CAST(dstr AS DATE)
+                              IS NOT NULL)
+                THEN value END AS string_value
+    FROM typed
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2035,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "pair_features": q_pair_features,
         "logistic_score": q_logistic_score,
+        "statement_plan": q_statement_plan,
     }
 
 
@@ -2079,4 +2250,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_ngram": _Q_LANG_NGRAM_SQL,
         "pair_features": _pair_features_sql(),
         "logistic_score": _q_logistic_score_sql(),
+        "statement_plan": _Q_STATEMENT_PLAN_SQL,
     }

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "lang_id_ngram",
     "pair_features",
     "logistic_score",
+    "statement_plan",
 ]
 
 
