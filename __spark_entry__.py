@@ -1975,6 +1975,124 @@ def _q_logistic_score_sql() -> str:
     """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality metrics (Rae et al. 2021 A1.1) per
+    document: word count, mean word length, distinct-word ratio, top
+    bigram fraction, pass verdict — all relational aggregations
+    (operators/textquality.py), hash-exact vs DuckDB."""
+    from soweego_spark.operators.textquality import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs)
+
+
+_Q_GOPHER_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(w) AS word_count,
+               len(list_distinct(w)) AS distinct_words,
+               list_sum(list_transform(w, x -> len(x))) AS char_sum
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id,
+                   unnest([w[i] || ' ' || w[i + 1]
+                           FOR i IN range(1, greatest(len(w) - 1, 0) + 1)])
+                       AS g
+            FROM toks
+        ) GROUP BY doc_id, g
+    ),
+    top AS (SELECT doc_id, max(c) AS top_bigram_count FROM grams
+            GROUP BY doc_id),
+    m AS (
+        SELECT b.doc_id AS id,
+               word_count::BIGINT AS word_count,
+               char_sum / word_count AS mean_word_len,
+               CAST(distinct_words AS DOUBLE) / word_count
+                   AS distinct_ratio,
+               CAST(COALESCE(top_bigram_count, 0) AS DOUBLE)
+                   / greatest(word_count - 1, 1) AS top_bigram_frac
+        FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+    )
+    SELECT *,
+           (word_count >= 3 AND mean_word_len <= 12.0
+            AND distinct_ratio >= 0.2 AND top_bigram_frac <= 0.5)
+               AS quality_pass
+    FROM m
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (operators/textquality.scrub_pii): email / IPv4
+    / phone patterns replaced by typed tags with per-kind hit counts.
+    The corpus has no PII, so deterministic PII is synthesized per doc
+    (both engines build the identical string) — the gate checks the
+    regex semantics and the email->ip->phone ordering exactly."""
+    from soweego_spark.operators.textquality import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1 555 01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" ip 10."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 200).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs).select(
+        "doc_id", "text_scrubbed", "n_emails", "n_ips", "n_phones"
+    )
+
+
+_Q_PII_SQL = r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id::VARCHAR
+                    || '@mail.example.com or +1 555 01'
+                    || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                    || ' ip 10.' || (doc_id % 250)::VARCHAR
+                    || '.0.' || (doc_id % 200)::VARCHAR AS text
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   ::BIGINT AS n_emails,
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS text
+        FROM aug
+    ),
+    s2 AS (
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(text,
+                   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ips,
+               regexp_replace(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                              '<IP>', 'g') AS text
+        FROM s1
+    )
+    SELECT doc_id,
+           regexp_replace(text, '\+?[0-9][0-9() .-]{6,}[0-9]',
+                          '<PHONE>', 'g') AS text_scrubbed,
+           n_emails, n_ips,
+           len(regexp_extract_all(text,
+               '\+?[0-9][0-9() .-]{6,}[0-9]'))::BIGINT AS n_phones
+    FROM s2
+"""
+
+
 def q_statement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 statement planning under the hash gate: the wikidata-bot
     decision matrix (operators/ingest.plan_claim_additions — add_claim vs
@@ -2206,6 +2324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_features": q_pair_features,
         "logistic_score": q_logistic_score,
         "statement_plan": q_statement_plan,
+        "gopher_quality": q_gopher_quality,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2251,4 +2371,6 @@ def oracle_sql() -> dict[str, str]:
         "pair_features": _pair_features_sql(),
         "logistic_score": _q_logistic_score_sql(),
         "statement_plan": _Q_STATEMENT_PLAN_SQL,
+        "gopher_quality": _Q_GOPHER_SQL,
+        "pii_scrub": _Q_PII_SQL,
     }

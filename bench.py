@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "pair_features",
     "logistic_score",
     "statement_plan",
+    "gopher_quality",
+    "pii_scrub",
 ]
 
 
