@@ -1975,6 +1975,42 @@ def _q_logistic_score_sql() -> str:
     """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization, batch face (streaming/events.sessionize_batch):
+    per-user 30-minute-gap sessions with exact integer-cents totals and
+    microsecond gap comparisons; ordering made total by the (ts,
+    event_id) tiebreak, so the output is a function of the data."""
+    from soweego_spark.streaming.events import sessionize_batch
+
+    events = _t(spark, sf_dir, "events")
+    return sessionize_batch(events, gap_minutes=30)
+
+
+_Q_SESSIONIZE_SQL = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, sum(cents)::BIGINT AS total_cents
+    FROM numbered
+    GROUP BY user_id, session_id
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality metrics (Rae et al. 2021 A1.1) per
     document: word count, mean word length, distinct-word ratio, top
@@ -2326,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statement_plan": q_statement_plan,
         "gopher_quality": q_gopher_quality,
         "pii_scrub": q_pii_scrub,
+        "sessionize": q_sessionize,
     }
 
 
@@ -2373,4 +2410,5 @@ def oracle_sql() -> dict[str, str]:
         "statement_plan": _Q_STATEMENT_PLAN_SQL,
         "gopher_quality": _Q_GOPHER_SQL,
         "pii_scrub": _Q_PII_SQL,
+        "sessionize": _Q_SESSIONIZE_SQL,
     }

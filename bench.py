@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "statement_plan",
     "gopher_quality",
     "pii_scrub",
+    "sessionize",
 ]
 
 

@@ -193,6 +193,49 @@ def sessionize_events(
     )
 
 
+def sessionize_batch(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """The BATCH face of gap sessionization — exact split-on-gap
+    semantics over the full history: a new session starts whenever the
+    gap to the previous event (per user, ordered by (ts, event_id) so
+    the ordering is total under duplicate timestamps) exceeds
+    ``gap_minutes``.
+
+    Two window passes over the same (user_id, ts) partitioning (Catalyst
+    plans ONE Exchange, both windows reuse it) + one aggregation.
+    Monetary totals stay in integer cents (exact, engine-portable —
+    summing doubles is order-dependent); timestamps compare in exact
+    microseconds.
+    """
+    from pyspark.sql import Window
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros rejects TIMESTAMP_NTZ; the session tz is pinned to UTC
+    # (session.py), so the NTZ -> TZ cast is a deterministic no-op shift
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    is_new = (prev_us.isNull() | (ts_us - prev_us > gap_us)).cast("long")
+    sess = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        events.select(
+            "user_id", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
 def read_event_stream(
     spark, path: str, max_files_per_trigger: int = 10
 ) -> DataFrame:

@@ -202,3 +202,42 @@ def test_streaming_neardup_filter(spark, tmpdir):
         assert len(got) == 2 and 4 in got and got[0] in (1, 2, 3)
     finally:
         q.stop()
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    """Exact split-on-gap: events 31 minutes apart start a new session;
+    events inside the gap extend it; totals are exact integer cents."""
+    from datetime import datetime
+
+    from soweego_spark.streaming.events import sessionize_batch
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        from datetime import timedelta
+
+        return t0 + timedelta(minutes=minutes)
+
+    rows = [
+        (1, at(0), 7, "view", 1.10, "{}"),
+        (2, at(10), 7, "click", 2.20, "{}"),   # same session (gap 10m)
+        (3, at(41), 7, "view", 3.30, "{}"),    # 31m gap -> new session
+        (4, at(41), 7, "view", 0.40, "{}"),    # duplicate ts, tiebreak ok
+        (5, at(0), 8, "view", 9.99, "{}"),     # other user independent
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["total_cents"], r["session_start"],
+            r["session_end"],
+        )
+        for r in sessionize_batch(events, gap_minutes=30).collect()
+    }
+    assert got[(7, 1)] == (2, 330, at(0), at(10))
+    assert got[(7, 2)] == (2, 370, at(41), at(41))
+    assert got[(8, 1)] == (1, 999, at(0), at(0))
+    assert len(got) == 3
