@@ -1975,6 +1975,68 @@ def _q_logistic_score_sql() -> str:
     """
 
 
+def q_cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cluster P/R/F1 from sufficient statistics
+    (operators/evaluate.pairwise_cluster_metrics) — O(rows), never
+    materializing pair sets. Predicted clusters here are 60-bit-md5 text
+    buckets (the cross-engine hash family) and truth is doc_id % 50, so
+    the METRIC math is what the gate checks, on a nondegenerate
+    contingency table."""
+    from soweego_spark.operators.dedup import md5_60
+    from soweego_spark.operators.evaluate import pairwise_cluster_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    assign = docs.select(
+        F.col("doc_id").alias("url"),
+        (md5_60(F.col("text")) % 40).alias("cluster_id"),
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("url"),
+        (F.col("doc_id") % 50).alias("entity_id"),
+    )
+    return pairwise_cluster_metrics(assign, truth)
+
+
+_Q_CLUSTER_METRICS_SQL = f"""
+    WITH assign AS (
+        SELECT doc_id AS id, ({_MD5_H.format(x='text')}) % 40 AS cluster_id
+        FROM documents
+    ),
+    truth AS (SELECT doc_id AS id, doc_id % 50 AS entity_id FROM documents),
+    tp AS (
+        SELECT COALESCE(sum((n * (n - 1)) // 2), 0)::BIGINT AS tp FROM (
+            SELECT a.cluster_id, t.entity_id, count(*) AS n
+            FROM assign a JOIN truth t USING (id)
+            GROUP BY a.cluster_id, t.entity_id
+        )
+    ),
+    pred AS (
+        SELECT COALESCE(sum((n * (n - 1)) // 2), 0)::BIGINT AS pred FROM (
+            SELECT cluster_id, count(*) AS n FROM assign GROUP BY cluster_id
+        )
+    ),
+    act AS (
+        SELECT COALESCE(sum((n * (n - 1)) // 2), 0)::BIGINT AS act FROM (
+            SELECT entity_id, count(*) AS n FROM truth GROUP BY entity_id
+        )
+    ),
+    m AS (
+        SELECT tp AS tp_pairs, pred AS predicted_pairs, act AS actual_pairs,
+               CASE WHEN pred > 0 THEN tp / pred ELSE 0.0::DOUBLE END
+                   AS precision,
+               CASE WHEN act > 0 THEN tp / act ELSE 0.0::DOUBLE END
+                   AS recall
+        FROM tp, pred, act
+    )
+    SELECT *,
+           CASE WHEN precision + recall > 0
+                THEN 2.0::DOUBLE * precision * recall
+                     / (precision + recall)
+                ELSE 0.0::DOUBLE END AS f1
+    FROM m
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization, batch face (streaming/events.sessionize_batch):
     per-user 30-minute-gap sessions with exact integer-cents totals and
@@ -2363,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "pii_scrub": q_pii_scrub,
         "sessionize": q_sessionize,
+        "cluster_metrics": q_cluster_metrics,
     }
 
 
@@ -2411,4 +2474,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _Q_GOPHER_SQL,
         "pii_scrub": _Q_PII_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
+        "cluster_metrics": _Q_CLUSTER_METRICS_SQL,
     }

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "gopher_quality",
     "pii_scrub",
     "sessionize",
+    "cluster_metrics",
 ]
 
 

@@ -17,6 +17,76 @@ from soweego_spark.operators import classify as clf
 from soweego_spark.operators.pairfeatures import FEATURE_COLUMNS
 
 
+def pairwise_cluster_metrics(
+    assign: DataFrame, truth: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """Pairwise precision/recall/F1 of a clustering vs ground truth WITHOUT
+    materializing pairs: with contingency counts n_ct = |cluster c ∩ truth
+    t|, TP = Σ C(n_ct,2), predicted = Σ C(n_c,2), actual = Σ C(n_t,2) —
+    three aggregations over the assignment join, O(rows) not O(pairs²).
+    At 10^12 docs the pair sets are astronomically large; the sufficient
+    statistics never are.
+
+    Integer arithmetic throughout (C(n,2) = n*(n-1)/2 exact in int64 up
+    to n ~ 4.3e9 members per cell), three final divisions — so the output
+    is engine-exact. Returns ONE row: (tp_pairs, predicted_pairs,
+    actual_pairs, precision, recall, f1).
+
+    Reference analogue: evaluate.py's pairwise P/R/F1 over the labeled
+    index — generalized to full assignments for the north rule's
+    transitive-cluster output.
+    """
+    a = assign.select(F.col(id_col).alias("id"), "cluster_id")
+    t = truth.select(F.col(id_col).alias("id"), "entity_id")
+    j = a.join(t, "id")
+
+    def pairs2(cnt):
+        # n*(n-1) is always even: shiftright(…,1) is the EXACT integer
+        # halve (a double `/2` loses exactness past 2^53 pair counts —
+        # reachable at lake scale)
+        return F.shiftright(cnt * (cnt - F.lit(1)), 1)
+
+    tp = (
+        j.groupBy("cluster_id", "entity_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.coalesce(F.sum(pairs2(F.col("n"))), F.lit(0)).alias("tp"))
+    )
+    pred = (
+        a.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.coalesce(F.sum(pairs2(F.col("n"))), F.lit(0)).alias("pred"))
+    )
+    act = (
+        t.groupBy("entity_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.coalesce(F.sum(pairs2(F.col("n"))), F.lit(0)).alias("act"))
+    )
+    row = tp.crossJoin(pred).crossJoin(act)  # three 1-row frames
+    p = F.when(F.col("pred") > 0, F.col("tp") / F.col("pred")).otherwise(
+        F.lit(0.0)
+    )
+    r = F.when(F.col("act") > 0, F.col("tp") / F.col("act")).otherwise(
+        F.lit(0.0)
+    )
+    f1 = F.when(
+        (F.col("precision") + F.col("recall")) > 0,
+        F.lit(2.0)
+        * F.col("precision")
+        * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    return (
+        row.select(
+            F.col("tp").alias("tp_pairs"),
+            F.col("pred").alias("predicted_pairs"),
+            F.col("act").alias("actual_pairs"),
+            p.alias("precision"),
+            r.alias("recall"),
+        )
+        .withColumn("f1", f1)
+    )
+
+
 def with_fold(labeled: DataFrame, k: int = 5) -> DataFrame:
     return labeled.withColumn(
         "fold", F.pmod(F.hash("url_a", "url_b"), F.lit(k))

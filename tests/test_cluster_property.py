@@ -102,3 +102,53 @@ def test_cc_loop_releases_checkpoint_rdds(spark):
     assert out.select("cluster_id").distinct().count() == 1
     after = jsc.getPersistentRDDs().size()
     assert after <= before + 1, (before, after)
+
+
+def test_pairwise_cluster_metrics_hand_computed(spark):
+    """3 truth entities, 2 predicted clusters; counts checked by hand:
+    clusters {a1,a2,b1} and {b2,b3,c1}: TP = C(2,2-ish)... explicitly:
+    intersections: (c1∩A)=2 ->1 pair, (c1∩B)=1, (c2∩B)=2 ->1 pair,
+    (c2∩C)=1 => tp=2; predicted = 2*C(3,2)=6; actual = C(2,2)+C(3,2)... =
+    1+3+... A has 2 members ->1, B has 3 ->3, C has 1 ->0 => actual=4."""
+    from soweego_spark.operators.evaluate import pairwise_cluster_metrics
+
+    assign = spark.createDataFrame(
+        [("a1", 1), ("a2", 1), ("b1", 1), ("b2", 2), ("b3", 2), ("c1", 2)],
+        "url string, cluster_id long",
+    )
+    truth = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B"), ("b3", "B"),
+         ("c1", "C")],
+        "url string, entity_id string",
+    )
+    row = pairwise_cluster_metrics(assign, truth).first()
+    assert row["tp_pairs"] == 2
+    assert row["predicted_pairs"] == 6
+    assert row["actual_pairs"] == 4
+    assert row["precision"] == 2 / 6
+    assert row["recall"] == 2 / 4
+    f1 = 2 * (2 / 6) * (2 / 4) / ((2 / 6) + (2 / 4))
+    assert abs(row["f1"] - f1) < 1e-15
+
+
+def test_pairwise_cluster_metrics_perfect_and_empty(spark):
+    from soweego_spark.operators.evaluate import pairwise_cluster_metrics
+
+    assign = spark.createDataFrame(
+        [("x", 9), ("y", 9), ("z", 7)], "url string, cluster_id long"
+    )
+    truth = spark.createDataFrame(
+        [("x", "E"), ("y", "E"), ("z", "F")], "url string, entity_id string"
+    )
+    row = pairwise_cluster_metrics(assign, truth).first()
+    assert (row["precision"], row["recall"], row["f1"]) == (1.0, 1.0, 1.0)
+
+    singletons = spark.createDataFrame(
+        [("x", 1), ("y", 2)], "url string, cluster_id long"
+    )
+    t2 = spark.createDataFrame(
+        [("x", "E"), ("y", "F")], "url string, entity_id string"
+    )
+    row2 = pairwise_cluster_metrics(singletons, t2).first()
+    # no pairs anywhere -> all-zero counts, metrics defined as 0
+    assert row2["tp_pairs"] == 0 and row2["f1"] == 0.0
