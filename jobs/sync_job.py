@@ -93,9 +93,11 @@ def _synthetic_inputs(spark, n: int):
             F.struct(
                 F.lit(0).cast("long").alias("idx"),
                 F.lit("occupation").alias("pid"),
-                F.when(F.col("tid") % 2 == 0, F.lit("Singer")).otherwise(
-                    F.lit("pianist")
-                ).alias("value"),
+                # even ids match a wd label; odd ids are unmatched and
+                # RESOLVABLE (q<digits> -> the fallback QID resolution path)
+                F.when(F.col("tid") % 2 == 0, F.lit("Singer"))
+                .otherwise(F.concat(F.lit("q"), (F.col("tid") % 500)))
+                .alias("value"),
             )
         ).alias("statements"),
     )
@@ -170,12 +172,76 @@ def main() -> None:
     bio_dates.write.mode("overwrite").parquet(f"{args.output}/bio_dates")
     bio_claims.write.mode("overwrite").parquet(f"{args.output}/bio_claims")
 
+    # Downstream of the matchers: the reference's upload flow —
+    # 1. unmatched target values resolve to QIDs (checks.py:913-917,
+    #    injected resolver; offline default resolves q<digits>),
+    # 2. the resolved extras become an add/reference statement PLAN
+    #    against the wd side's existing claims (wikidata_bot semantics),
+    # 3. deprecation candidates from the link check become a
+    #    delete/deprecate plan,
+    # 4. both plans stream to payload files (the exact upload batches).
+    from soweego_spark.operators.ingest import (
+        plan_claim_additions,
+        plan_identifier_actions,
+    )
+    from soweego_spark.operators.validator import resolve_unmatched_claims
+    from soweego_spark.sources.remote import emit_statements, jsonl_dir_emitter
+
+    CATALOG_PID = "P1953"  # the catalog's identifier property
+    extras = resolve_unmatched_claims(t_claims, bio_claims)
+    proposed = extras.select(
+        F.concat(F.lit("Q"), F.col("tid").cast("string")).alias("qid"),
+        "pid",
+        F.col("t_qid").alias("value"),
+        F.col("tid").cast("string").alias("catalog_id"),
+    )
+    existing = wd_claims.select(
+        F.concat(F.lit("Q"), F.col("tid").cast("string")).alias("qid"),
+        "pid",
+        F.explode("values").alias("value"),
+    )
+    additions = plan_claim_additions(
+        proposed,
+        existing,
+        heuristic="Q1266546",
+        retrieved="2026-08-16",
+        catalog_qid="Q14005",
+        catalog_pid=CATALOG_PID,
+    )
+    ident_claims = wd.select(
+        F.concat(F.lit("Q"), F.col("tid").cast("string")).alias("qid"),
+        F.lit(CATALOG_PID).alias("pid"),
+        F.col("tid").cast("string").alias("value"),
+    )
+    deprecations = plan_identifier_actions(
+        links.filter("deprecate").select(
+            F.concat(F.lit("Q"), F.col("tid").cast("string")).alias("qid"),
+            F.col("tid").cast("string").alias("tid"),
+        ),
+        ident_claims,
+        catalog_pid=CATALOG_PID,
+        action="deprecate",
+    )
+    additions.write.mode("overwrite").parquet(f"{args.output}/additions_plan")
+    deprecations.write.mode("overwrite").parquet(
+        f"{args.output}/deprecations_plan"
+    )
+    emit_statements(
+        additions.select(
+            "qid", "pid", "value", "action", "ref_target_pid", "references"
+        ),
+        jsonl_dir_emitter(f"{args.output}/payloads"),
+    )
+
     stats = {
         "links": links.count(),
         "deprecate": links.filter("deprecate").count(),
         "dead_ids": dead.count(),
         "bio_date_matches": bio_dates.count(),
         "bio_claim_matches": bio_claims.count(),
+        "resolved_extras": extras.count(),
+        "planned_additions": additions.count(),
+        "planned_deprecations": deprecations.count(),
     }
     print("STATS " + json.dumps(stats), file=sys.stderr)
     print(json.dumps({"status": "ok", "stats": stats}))
