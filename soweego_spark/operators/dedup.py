@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_NUM_PERM = 64
@@ -182,6 +182,39 @@ def minhash_signatures(
     return toks.join(sig, "doc_id")
 
 
+def band_keys(
+    signed: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(doc_id, sig) -> (doc_id, band_id, band_hash), one row per band.
+
+    Band bucket key = the raw comma-joined slice of the signature (an
+    injective encoding — no second hash needed; equality classes are
+    exactly "all rows of the band agree").
+    """
+    rows_per_band = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        .cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signed.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_candidates(
     toks: DataFrame,
     jaccard_threshold: float = 0.7,
@@ -199,32 +232,9 @@ def minhash_lsh_candidates(
     exact check (the sub-quadratic part); it never admits a false positive.
     """
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
-    rows_per_band = num_perm // bands
 
     signed = minhash_signatures(toks, num_perm=num_perm, hash_family=hash_family)
-
-    # Band bucket key = the raw comma-joined slice of the signature (an
-    # injective encoding — no second hash needed; equality classes are
-    # exactly "all rows of the band agree").
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at("sig", b * rows_per_band + r + 1)
-                        .cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signed.select(
-        "doc_id", F.explode(band_structs).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    banded = band_keys(signed, num_perm=num_perm, bands=bands)
 
     # Skew guard: drop buckets larger than the cap before the self-join.
     bucket_counts = banded.groupBy("band_id", "band_hash").agg(
@@ -491,3 +501,113 @@ def fingerprint_neardup(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingestion exact dedup: keep new documents whose
+    (xxhash64(text), length) key is neither in the SEEN corpus key table
+    nor duplicated within the batch (first doc per key wins, by id).
+
+    Returns ``(kept_docs, kept_keys)`` — union ``kept_keys`` into the
+    persisted seen-key table for the next batch. The seen table is keys
+    only (16 bytes/doc), so at 10^12 docs it is a join-able lake table,
+    never driver state; the join is a plain hash anti join Catalyst can
+    broadcast/shuffle as sizes dictate.
+    """
+    keyed = new_docs.withColumn(
+        "content_key",
+        F.struct(
+            F.xxhash64(F.col(text_col)).alias("h"),
+            F.length(F.col(text_col)).alias("n"),
+        ),
+    )
+    if seen is not None:
+        keyed = keyed.join(seen, "content_key", "left_anti")
+    w = Window.partitionBy("content_key").orderBy(id_col)
+    kept = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return kept.drop("content_key"), kept.select("content_key").distinct()
+
+
+def incremental_minhash_neardup(
+    new_toks: DataFrame,
+    corpus_toks: DataFrame,
+    jaccard_threshold: float = 0.7,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int = 10_000,
+    hash_family: str = "xxhash64",
+    corpus_banded: DataFrame | None = None,
+) -> DataFrame:
+    """Continuous-ingestion NEAR-dedup: drop new documents whose exact
+    token Jaccard against ANY corpus document reaches the threshold,
+    finding candidates via band-bucket collisions (new bands probe the
+    corpus bands — an equi-join, no self-join, no corpus rescan).
+
+    Returns the kept rows of ``new_toks``. Pass ``corpus_banded`` (the
+    persisted output of ``band_keys(minhash_signatures(corpus))``) to
+    skip re-signing the corpus — in production the band table is a
+    bucketed lake table maintained incrementally by unioning each
+    batch's own bands; only corpus-side buckets are capped (boilerplate
+    guards), the new batch probes them.
+
+    Same precision doctrine as minhash_lsh_candidates: banding only
+    nominates, the exact-Jaccard confirm decides — no false drops.
+    """
+    if corpus_banded is None:
+        corpus_banded = band_keys(
+            minhash_signatures(
+                corpus_toks, num_perm=num_perm, hash_family=hash_family
+            ),
+            num_perm=num_perm,
+            bands=bands,
+        )
+    bucket_counts = corpus_banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    hot = bucket_counts.filter(F.col("bucket_n") > max_bucket_size).select(
+        "band_id", "band_hash"
+    )
+    corpus_capped = corpus_banded.join(
+        F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
+    )
+
+    new_banded = band_keys(
+        minhash_signatures(
+            new_toks, num_perm=num_perm, hash_family=hash_family
+        ),
+        num_perm=num_perm,
+        bands=bands,
+    )
+    cand = (
+        new_banded.join(
+            corpus_capped.select(
+                "band_id", "band_hash", F.col("doc_id").alias("corpus_id")
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    ta = new_toks.select("doc_id", F.col("tokens").alias("ta"))
+    tb = corpus_toks.select(
+        F.col("doc_id").alias("corpus_id"), F.col("tokens").alias("tb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_union("ta", "tb")).cast("double")
+    dup_ids = (
+        cand.join(ta, "doc_id")
+        .join(tb, "corpus_id")
+        .filter(F.round(inter / union, 6) >= jaccard_threshold)
+        .select("doc_id")
+        .distinct()
+    )
+    return new_toks.join(dup_ids, "doc_id", "left_anti")

@@ -318,3 +318,105 @@ def test_md5_60_cross_engine_property(spark):
     df = spark.createDataFrame([(v,) for v in vals], "t string")
     got = [r["h"] for r in df.select(md5_60(F.col("t")).alias("h")).collect()]
     assert got == [md5_60_py(v) for v in vals]
+
+
+def test_incremental_exact_dedup(spark):
+    from soweego_spark.operators.dedup import incremental_exact_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    _, seen_keys = incremental_exact_dedup(corpus, None)
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),   # exact dup of corpus -> dropped
+            (11, "brand new content"),  # novel -> kept
+            (12, "brand new content"),  # in-batch dup -> first id wins
+            (13, "another novel one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept, new_keys = incremental_exact_dedup(new, seen_keys)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+    # the returned keys feed the NEXT batch's seen table
+    seen2 = seen_keys.unionByName(new_keys)
+    kept2, _ = incremental_exact_dedup(
+        spark.createDataFrame(
+            [(20, "another novel one"), (21, "still newer")],
+            "doc_id long, text string",
+        ),
+        seen2,
+    )
+    assert [r["doc_id"] for r in kept2.collect()] == [21]
+
+
+def test_incremental_minhash_matches_batch_cross_pairs(spark):
+    """Incremental near-dedup drops exactly the new docs that the BATCH
+    LSH (over corpus ∪ new) pairs with a corpus doc at the threshold."""
+    from soweego_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_lsh_candidates,
+        token_sets,
+    )
+
+    corpus_docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "an entirely different corpus document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    new_docs = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 (one word changed)
+            (10, "the quick brown fox jumps over the lazy cat tonight"),
+            (11, "completely unrelated fresh text with novel words here"),
+            (12, "an entirely different corpus document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = token_sets(corpus_docs)
+    new = token_sets(new_docs)
+    kept = incremental_minhash_neardup(
+        new, corpus, jaccard_threshold=0.7
+    )
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    assert kept_ids == [11]
+
+    # cross-check vs the batch operator on the union
+    both = corpus.unionByName(new)
+    pairs = minhash_lsh_candidates(both, jaccard_threshold=0.7)
+    cross = {
+        r["doc_b"]
+        for r in pairs.collect()
+        if r["doc_a"] < 10 and r["doc_b"] >= 10
+    }
+    assert cross == {10, 12}  # exactly the dropped new docs
+
+
+def test_incremental_minhash_reuses_persisted_bands(spark):
+    from soweego_spark.operators.dedup import (
+        band_keys,
+        incremental_minhash_neardup,
+        minhash_signatures,
+        token_sets,
+    )
+
+    corpus = token_sets(
+        spark.createDataFrame(
+            [(1, "shared words one two three four five six")],
+            "doc_id long, text string",
+        )
+    )
+    new = token_sets(
+        spark.createDataFrame(
+            [(10, "shared words one two three four five six")],
+            "doc_id long, text string",
+        )
+    )
+    banded = band_keys(minhash_signatures(corpus))
+    kept = incremental_minhash_neardup(
+        new, corpus, corpus_banded=banded
+    )
+    assert kept.count() == 0
