@@ -640,6 +640,103 @@ def _q_minhash_sql(num_perm: int = 64, bands: int = 16, n: int = 3,
     """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion near-dedup (dedup.incremental_minhash_neardup,
+    md5 family): odd doc_ids are the 'new batch', even doc_ids the
+    persisted corpus; a new doc survives unless its exact token Jaccard
+    against a band-colliding corpus doc reaches 0.8. Fully oracled — the
+    md5 Kirsch-Mitzenmacher signatures, band probes, cap, and confirm all
+    replay in DuckDB."""
+    from soweego_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        token_sets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_sets(docs)
+    kept = incremental_minhash_neardup(
+        toks.filter(F.col("doc_id") % 2 == 1),
+        toks.filter(F.col("doc_id") % 2 == 0),
+        jaccard_threshold=0.8,
+        hash_family="md5",
+    )
+    return kept.select("doc_id")
+
+
+def _q_incremental_sql(num_perm: int = 64, bands: int = 16,
+                       cap: int = 10_000, t: float = 0.8) -> str:
+    """DuckDB replica of q_incremental_neardup: signatures computed once
+    over all docs (they are doc-local), banded, split by parity; new
+    bands probe capped corpus buckets; exact-Jaccard confirm; survivors
+    = new docs with no confirmed corpus match."""
+    from soweego_spark.operators.dedup import PERM_MASK_55, PERM_MASK_60
+
+    rows = num_perm // bands
+    mins = ",\n               ".join(
+        f"min((h1 + {i} * h2) & {PERM_MASK_60}) AS h{i}"
+        for i in range(num_perm)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_val FROM sigs".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"h{b * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    tok_hash = _MD5_H.format(x="tok")
+    tok_hash2 = _MD5_H.format(x="('s:' || tok)")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_filter(
+                   string_split(lower(text), ' '), w -> w <> ''))) AS tokens
+        FROM documents
+    ),
+    tokh AS (
+        SELECT doc_id, {tok_hash} AS h1,
+               {tok_hash2} & {PERM_MASK_55} AS h2
+        FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM tokh GROUP BY doc_id
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    corpus_banded AS (SELECT * FROM banded WHERE doc_id % 2 = 0),
+    new_banded AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
+    kept_buckets AS (
+        SELECT band_id, band_val FROM corpus_banded
+        GROUP BY band_id, band_val HAVING count(*) <= {cap}
+    ),
+    corpus_capped AS (
+        SELECT c.doc_id, c.band_id, c.band_val
+        FROM corpus_banded c JOIN kept_buckets USING (band_id, band_val)
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id, c.doc_id AS corpus_id
+        FROM new_banded n JOIN corpus_capped c
+          ON n.band_id = c.band_id AND n.band_val = c.band_val
+    ),
+    dups AS (
+        SELECT DISTINCT cand.doc_id
+        FROM cand
+        JOIN toks ta ON ta.doc_id = cand.doc_id
+        JOIN toks tb ON tb.doc_id = cand.corpus_id
+        WHERE round(len(list_intersect(ta.tokens, tb.tokens))::DOUBLE
+                    / len(list_distinct(list_concat(ta.tokens, tb.tokens))),
+                    6) >= {t}
+    )
+    SELECT doc_id FROM toks
+    WHERE doc_id % 2 = 1
+      AND doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup over 60-bit md5-family signatures — fully oracled
     in DuckDB (bit sums, pigeonhole blocks, bit_count confirmation); the
@@ -2426,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "sessionize": q_sessionize,
         "cluster_metrics": q_cluster_metrics,
+        "incremental_neardup": q_incremental_neardup,
     }
 
 
@@ -2475,4 +2573,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _Q_PII_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "cluster_metrics": _Q_CLUSTER_METRICS_SQL,
+        "incremental_neardup": _q_incremental_sql(),
     }

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "sessionize",
     "cluster_metrics",
+    "incremental_neardup",
 ]
 
 
