@@ -2458,6 +2458,96 @@ _Q_STATEMENT_PLAN_SQL = """
 """
 
 
+def q_mnm_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 mix'n'match entry construction (ingest.plan_mnm_entries) over a
+    synthetic matches table from orders: curated exclusion (anti join),
+    confidence range, and the exact MnM entry field shapes
+    (mix_n_match_client.py:453-465)."""
+    from soweego_spark.operators.ingest import plan_mnm_entries
+
+    orders = _t(spark, sf_dir, "orders")
+    matches = orders.select(
+        F.concat(F.lit("Q"), F.col("o_custkey").cast("string")).alias("qid"),
+        F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias("tid"),
+        ((F.col("o_orderkey") % 100).cast("double") / 100.0).alias("score"),
+    )
+    curated = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias("tid")
+    )
+    return plan_mnm_entries(
+        matches,
+        catalog_id=42,
+        class_qid="Q5",
+        timestamp="20260816000000",
+        curated=curated,
+        url_prefix="https://catalog.example/",
+        confidence_range=(0.3, 0.9),
+    )
+
+
+_Q_MNM_SQL = """
+    WITH matches AS (
+        SELECT 'Q' || o_custkey::VARCHAR AS qid,
+               't' || o_orderkey::VARCHAR AS tid,
+               (o_orderkey % 100) / 100.0::DOUBLE AS score,
+               o_orderkey AS ok
+        FROM orders
+    )
+    SELECT 42 AS catalog,
+           CAST(regexp_replace(qid, '^Q', '') AS BIGINT) AS q,
+           tid AS ext_id, tid AS ext_name,
+           'https://catalog.example/' || tid AS ext_url,
+           'Q5' AS type,
+           'soweego confidence score: ' || score::VARCHAR AS ext_desc,
+           0 AS user, '20260816000000' AS timestamp
+    FROM matches
+    WHERE score >= 0.3 AND score <= 0.9 AND ok % 7 <> 0
+"""
+
+
+def q_identifier_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete/deprecate planning (ingest.plan_identifier_actions): invalid
+    identifiers whose claim exists get the action; missing claims surface
+    as auditable errors (wikidata_bot.py:865-908)."""
+    from soweego_spark.operators.ingest import plan_identifier_actions
+
+    orders = _t(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.concat(F.lit("Q"), F.col("o_custkey").cast("string")).alias("qid"),
+        F.lit("P1953").alias("pid"),
+        F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias(
+            "value"
+        ),
+    )
+    invalid = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.concat(F.lit("Q"), F.col("o_custkey").cast("string")).alias("qid"),
+        F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias("tid"),
+    )
+    return plan_identifier_actions(
+        invalid, existing, catalog_pid="P1953", action="deprecate"
+    )
+
+
+_Q_IDENT_ACTIONS_SQL = """
+    WITH existing AS (
+        SELECT 'Q' || o_custkey::VARCHAR AS qid,
+               't' || o_orderkey::VARCHAR AS tid
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    invalid AS (
+        SELECT 'Q' || o_custkey::VARCHAR AS qid,
+               't' || o_orderkey::VARCHAR AS tid
+        FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT i.qid, i.tid, 'P1953' AS catalog_pid,
+           CASE WHEN e.qid IS NOT NULL THEN 'deprecate'
+                ELSE 'error_missing_claim' END AS action
+    FROM invalid i
+    LEFT JOIN (SELECT DISTINCT qid, tid FROM existing) e
+           ON e.qid = i.qid AND e.tid = i.tid
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2524,6 +2614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "cluster_metrics": q_cluster_metrics,
         "incremental_neardup": q_incremental_neardup,
+        "mnm_entries": q_mnm_entries,
+        "identifier_actions": q_identifier_actions,
     }
 
 
@@ -2574,4 +2666,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _Q_SESSIONIZE_SQL,
         "cluster_metrics": _Q_CLUSTER_METRICS_SQL,
         "incremental_neardup": _q_incremental_sql(),
+        "mnm_entries": _Q_MNM_SQL,
+        "identifier_actions": _Q_IDENT_ACTIONS_SQL,
     }

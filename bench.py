@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "sessionize",
     "cluster_metrics",
     "incremental_neardup",
+    "mnm_entries",
+    "identifier_actions",
 ]
 
 
