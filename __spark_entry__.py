@@ -36,6 +36,19 @@ Operator coverage map (SURVEY.md §2 -> query):
   SO2   bio claim/date validation (greedy matching)    -> bio_validation,
                                                          bio_dates_validation
   P7    URL domain blacklist anti join                 -> url_blacklist
+  J1    3-table outer join                             -> three_way_outer_join
+  text  n-gram-profile language ID (Cavnar/Trenkle)    -> lang_id_ngram
+  B2/J4 subset-token containment (symmetric skew caps) -> subset_containment
+  C1-C9 11-feature reference-parity vector             -> pair_features
+  M2/P4 IRLS logistic train+score (weight literals)    -> logistic_score
+  S13   wikidata-bot claim decision matrix             -> statement_plan
+  S14   mix'n'match entry construction                 -> mnm_entries
+  S13   delete/deprecate identifier planning           -> identifier_actions
+  text  Gopher repetition/quality filters              -> gopher_quality
+  text  email/IP/phone PII scrubbing                   -> pii_scrub
+  strm  gap sessionization (batch face)                -> sessionize
+  eval  pairwise cluster P/R/F1 (sufficient stats)     -> cluster_metrics
+  dedup incremental new-batch-vs-corpus near-dedup     -> incremental_neardup
 
 The full record-linkage pipeline (blocking + features + classifier + CC
 clustering over the synthetic pages table) is exercised by the pytest suite
