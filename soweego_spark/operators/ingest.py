@@ -89,9 +89,10 @@ def resolve_redirects(
     broadcast probe, never a shuffle of ``df``."""
     if redirects is None:
         return df
+    # distinct: a duplicated redirect row must not multiply subjects
     r = redirects.select(
         F.col("from_qid").alias("__r_from"), F.col("to_qid").alias("__r_to")
-    )
+    ).distinct()
     out = df
     for _ in range(max_hops):
         out = (
@@ -185,9 +186,10 @@ def plan_claim_additions(
     """
     p = resolve_redirects(proposed, redirects, "qid")
     if dead_qids is not None:
+        # distinct: a duplicated dead-list row must not multiply proposals
         dead = dead_qids.select(
             F.col("qid").alias("__dead_qid"), F.lit(True).alias("__dead")
-        )
+        ).distinct()
         p = p.join(
             F.broadcast(dead), p["qid"] == F.col("__dead_qid"), "left"
         ).drop("__dead_qid")
