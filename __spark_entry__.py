@@ -730,16 +730,29 @@ def _q_incremental_sql(num_perm: int = 64, bands: int = 16,
         SELECT c.doc_id, c.band_id, c.band_val
         FROM corpus_banded c JOIN kept_buckets USING (band_id, band_val)
     ),
+    new_kept_buckets AS (
+        SELECT band_id, band_val FROM new_banded
+        GROUP BY band_id, band_val HAVING count(*) <= {cap}
+    ),
+    new_capped AS (
+        SELECT n.doc_id, n.band_id, n.band_val
+        FROM new_banded n JOIN new_kept_buckets USING (band_id, band_val)
+    ),
     cand AS (
-        SELECT DISTINCT n.doc_id, c.doc_id AS corpus_id
+        SELECT DISTINCT n.doc_id, c.doc_id AS other_id
         FROM new_banded n JOIN corpus_capped c
           ON n.band_id = c.band_id AND n.band_val = c.band_val
+        UNION
+        SELECT DISTINCT a.doc_id, b.doc_id AS other_id
+        FROM new_capped a JOIN new_capped b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id > b.doc_id
     ),
     dups AS (
         SELECT DISTINCT cand.doc_id
         FROM cand
         JOIN toks ta ON ta.doc_id = cand.doc_id
-        JOIN toks tb ON tb.doc_id = cand.corpus_id
+        JOIN toks tb ON tb.doc_id = cand.other_id
         WHERE round(len(list_intersect(ta.tokens, tb.tokens))::DOUBLE
                     / len(list_distinct(list_concat(ta.tokens, tb.tokens))),
                     6) >= {t}
@@ -984,13 +997,19 @@ def _q_embedding_ivf_sql(
     sf_dir = os.environ.get(
         "SOWEEGO_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    tbl = (
-        _duck.connect()
-        .execute(
+    con = _duck.connect()
+    try:
+        tbl = con.execute(
             "SELECT embedding FROM "
             f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id"
-        )
-        .fetchall()
+        ).fetchall()
+    finally:
+        con.close()
+    # the operator fits on the xxhash64-TakeOrdered fit_cap sample; this
+    # replay assumes sample == whole table — refuse to emit a spuriously
+    # red oracle beyond that (the entry then degrades to rows-only)
+    assert len(tbl) <= 100_000, (
+        "ivf oracle replay requires rows <= fit_cap (whole-table sample)"
     )
     mat = np.array([r[0] for r in tbl], dtype=np.float64)
     cent = _kmeans_fit(mat, n_centroids, seed, iters)
@@ -2053,20 +2072,24 @@ def _q_logistic_score_sql() -> str:
         "SOWEEGO_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
     con = _duck.connect()
-    con.execute(
-        f"CREATE VIEW part AS SELECT * FROM '{sf_dir}/part.parquet'"
-    )
-    res = con.execute(
-        f"""
-        WITH f AS ({_pair_features_sql()})
-        SELECT f.*, CASE WHEN name_cos >= 0.5 THEN 1.0 ELSE 0.0 END AS label
-        FROM f
-        WHERE (CAST(substr(url_a, 2) AS BIGINT) * 31
-               + CAST(substr(url_b, 2) AS BIGINT)) % 3 = 0
-        """
-    )
-    cols = [dsc[0] for dsc in res.description]
-    rows = sorted(res.fetchall(), key=lambda r: (r[0], r[1]))
+    try:
+        con.execute(
+            f"CREATE VIEW part AS SELECT * FROM '{sf_dir}/part.parquet'"
+        )
+        res = con.execute(
+            f"""
+            WITH f AS ({_pair_features_sql()})
+            SELECT f.*, CASE WHEN name_cos >= 0.5 THEN 1.0 ELSE 0.0 END
+                   AS label
+            FROM f
+            WHERE (CAST(substr(url_a, 2) AS BIGINT) * 31
+                   + CAST(substr(url_b, 2) AS BIGINT)) % 3 = 0
+            """
+        )
+        cols = [dsc[0] for dsc in res.description]
+        rows = sorted(res.fetchall(), key=lambda r: (r[0], r[1]))
+    finally:
+        con.close()
     idx = {c: i for i, c in enumerate(cols)}
     X = np.array(
         [[r[idx[c]] for c in FEATURE_COLUMNS] for r in rows],
@@ -2114,19 +2137,19 @@ _Q_CLUSTER_METRICS_SQL = f"""
     ),
     truth AS (SELECT doc_id AS id, doc_id % 50 AS entity_id FROM documents),
     tp AS (
-        SELECT COALESCE(sum((n * (n - 1)) // 2), 0)::BIGINT AS tp FROM (
+        SELECT COALESCE(sum(CASE WHEN n % 2 = 0 THEN (n // 2) * (n - 1) ELSE n * ((n - 1) // 2) END), 0)::BIGINT AS tp FROM (
             SELECT a.cluster_id, t.entity_id, count(*) AS n
             FROM assign a JOIN truth t USING (id)
             GROUP BY a.cluster_id, t.entity_id
         )
     ),
     pred AS (
-        SELECT COALESCE(sum((n * (n - 1)) // 2), 0)::BIGINT AS pred FROM (
+        SELECT COALESCE(sum(CASE WHEN n % 2 = 0 THEN (n // 2) * (n - 1) ELSE n * ((n - 1) // 2) END), 0)::BIGINT AS pred FROM (
             SELECT cluster_id, count(*) AS n FROM assign GROUP BY cluster_id
         )
     ),
     act AS (
-        SELECT COALESCE(sum((n * (n - 1)) // 2), 0)::BIGINT AS act FROM (
+        SELECT COALESCE(sum(CASE WHEN n % 2 = 0 THEN (n // 2) * (n - 1) ELSE n * ((n - 1) // 2) END), 0)::BIGINT AS act FROM (
             SELECT entity_id, count(*) AS n FROM truth GROUP BY entity_id
         )
     ),
@@ -2221,8 +2244,9 @@ _Q_GOPHER_SQL = r"""
     m AS (
         SELECT b.doc_id AS id,
                word_count::BIGINT AS word_count,
-               char_sum / word_count AS mean_word_len,
-               CAST(distinct_words AS DOUBLE) / word_count
+               COALESCE(char_sum, 0) / greatest(word_count, 1)
+                   AS mean_word_len,
+               CAST(distinct_words AS DOUBLE) / greatest(word_count, 1)
                    AS distinct_ratio,
                CAST(COALESCE(top_bigram_count, 0) AS DOUBLE)
                    / greatest(word_count - 1, 1) AS top_bigram_frac
@@ -2633,6 +2657,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _static_oracles()
+    # data-dependent generators (k-means / IRLS replays on the parquet
+    # under SOWEEGO_ORACLE_SF_DIR): a failure here must degrade THOSE
+    # entries to rows-only, not take down every oracle
+    for name, gen in (
+        ("embedding_ivf_topk", _q_embedding_ivf_sql),
+        ("logistic_score", _q_logistic_score_sql),
+    ):
+        try:
+            out[name] = gen()
+        except Exception as exc:  # pragma: no cover — env-dependent
+            print(f"oracle generator {name} skipped: {exc}", file=sys.stderr)
+    return out
+
+
+def _static_oracles() -> dict[str, str]:
     return {
         "token_blocking_topk": _Q_TOKEN_BLOCKING_SQL,
         "group_collect": _Q_GROUP_COLLECT_SQL,
@@ -2655,11 +2695,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _Q_EMBEDDING_TOPK_SQL,
         "embedding_neardup": _Q_EMBEDDING_NEARDUP_SQL,
         "embedding_lsh_neardup": _q_embedding_lsh_sql(),
-        # the iterative k-means fit is replayed in numpy at SQL-generation
-        # time and embedded as centroid literals (deterministic: seeded
-        # Lloyd on the whole-table sample); full-probe==brute-force is
-        # additionally pytest-verified (test_ann.py).
-        "embedding_ivf_topk": _q_embedding_ivf_sql(),
         "lang_id": _q_lang_id_sql(),
         "quality_score": _Q_QUALITY_SQL,
         "token_count": _Q_TOKEN_COUNT_SQL,
@@ -2672,7 +2707,6 @@ def oracle_sql() -> dict[str, str]:
         "three_way_outer_join": _Q_THREE_WAY_SQL,
         "lang_id_ngram": _Q_LANG_NGRAM_SQL,
         "pair_features": _pair_features_sql(),
-        "logistic_score": _q_logistic_score_sql(),
         "statement_plan": _Q_STATEMENT_PLAN_SQL,
         "gopher_quality": _Q_GOPHER_SQL,
         "pii_scrub": _Q_PII_SQL,

@@ -188,7 +188,10 @@ def main() -> None:
     from soweego_spark.sources.remote import emit_statements, jsonl_dir_emitter
 
     CATALOG_PID = "P1953"  # the catalog's identifier property
-    extras = resolve_unmatched_claims(t_claims, bio_claims)
+    # cache: extras/additions each feed a parquet write, the payload
+    # emitter, AND a stats count — without a persist the injected QID
+    # resolver (a remote API in production) would re-fire per consumer
+    extras = resolve_unmatched_claims(t_claims, bio_claims).cache()
     proposed = extras.select(
         F.concat(F.lit("Q"), F.col("tid").cast("string")).alias("qid"),
         "pid",
@@ -207,7 +210,7 @@ def main() -> None:
         retrieved="2026-08-16",
         catalog_qid="Q14005",
         catalog_pid=CATALOG_PID,
-    )
+    ).cache()
     ident_claims = wd.select(
         F.concat(F.lit("Q"), F.col("tid").cast("string")).alias("qid"),
         F.lit(CATALOG_PID).alias("pid"),

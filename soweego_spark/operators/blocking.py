@@ -304,7 +304,10 @@ def subset_token_pairs(
     hot_r = (
         r_tok.groupBy("token")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > (target_df_cap or token_df_cap))
+        .filter(
+            F.col("df")
+            > (token_df_cap if target_df_cap is None else target_df_cap)
+        )
         .select("token")
     )
     hot = hot_l.unionByName(hot_r).distinct()

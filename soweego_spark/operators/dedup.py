@@ -193,6 +193,7 @@ def band_keys(
     injective encoding — no second hash needed; equality classes are
     exactly "all rows of the band agree").
     """
+    assert num_perm % bands == 0, "num_perm must be divisible by bands"
     rows_per_band = num_perm // bands
     band_structs = F.array(
         *[
@@ -510,12 +511,19 @@ def incremental_exact_dedup(
     text_col: str = "text",
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-ingestion exact dedup: keep new documents whose
-    (xxhash64(text), length) key is neither in the SEEN corpus key table
-    nor duplicated within the batch (first doc per key wins, by id).
+    (xxhash64(text), md5(text), length) key is neither in the SEEN corpus
+    key table nor duplicated within the batch (first doc per key wins,
+    by id).
+
+    The key is ~192 bits: a 64-bit key alone silently loses distinct
+    documents at lake scale (10^12 docs → expected xxhash64 collisions
+    ≈ (10^12)²/2⁶⁵ — tens of thousands), while the joint
+    xxhash64+md5+length collision probability is negligible and the key
+    stays fixed-width (no text in the seen table).
 
     Returns ``(kept_docs, kept_keys)`` — union ``kept_keys`` into the
     persisted seen-key table for the next batch. The seen table is keys
-    only (16 bytes/doc), so at 10^12 docs it is a join-able lake table,
+    only (~30 bytes/doc), so at 10^12 docs it is a join-able lake table,
     never driver state; the join is a plain hash anti join Catalyst can
     broadcast/shuffle as sizes dictate.
     """
@@ -523,6 +531,7 @@ def incremental_exact_dedup(
         "content_key",
         F.struct(
             F.xxhash64(F.col(text_col)).alias("h"),
+            F.md5(F.col(text_col).cast("binary")).alias("m"),
             F.length(F.col(text_col)).alias("n"),
         ),
     )
@@ -546,18 +555,28 @@ def incremental_minhash_neardup(
     max_bucket_size: int = 10_000,
     hash_family: str = "xxhash64",
     corpus_banded: DataFrame | None = None,
+    within_batch: bool = True,
 ) -> DataFrame:
     """Continuous-ingestion NEAR-dedup: drop new documents whose exact
     token Jaccard against ANY corpus document reaches the threshold,
     finding candidates via band-bucket collisions (new bands probe the
-    corpus bands — an equi-join, no self-join, no corpus rescan).
+    corpus bands — an equi-join, no self-join against the corpus, no
+    corpus rescan).
+
+    ``within_batch=True`` (default) additionally dedups the batch
+    against ITSELF — without it, two near-dups arriving in the same
+    batch would both survive and permanently contaminate the corpus.
+    The in-batch rule is deterministic min-id-survivor: a new doc is
+    dropped when a confirmed dup with a SMALLER doc_id exists in the
+    batch (conservative on transitive chains: B~A and C~B drops both B
+    and C even if C≁A — over-dropping is the safe direction for dedup).
 
     Returns the kept rows of ``new_toks``. Pass ``corpus_banded`` (the
     persisted output of ``band_keys(minhash_signatures(corpus))``) to
     skip re-signing the corpus — in production the band table is a
-    bucketed lake table maintained incrementally by unioning each
-    batch's own bands; only corpus-side buckets are capped (boilerplate
-    guards), the new batch probes them.
+    bucketed lake table maintained incrementally by unioning each KEPT
+    batch's bands; buckets over ``max_bucket_size`` are capped on both
+    the corpus side and the batch self-join side (boilerplate guards).
 
     Same precision doctrine as minhash_lsh_candidates: banding only
     nominates, the exact-Jaccard confirm decides — no false drops.
@@ -590,22 +609,47 @@ def incremental_minhash_neardup(
     cand = (
         new_banded.join(
             corpus_capped.select(
-                "band_id", "band_hash", F.col("doc_id").alias("corpus_id")
+                "band_id", "band_hash", F.col("doc_id").alias("other_id")
             ),
             ["band_id", "band_hash"],
         )
-        .select("doc_id", "corpus_id")
+        .select("doc_id", "other_id")
         .distinct()
     )
+    other_toks = corpus_toks
+    if within_batch:
+        new_hot = (
+            new_banded.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        new_capped = new_banded.join(
+            F.broadcast(new_hot), ["band_id", "band_hash"], "left_anti"
+        )
+        batch_cand = (
+            new_capped.join(
+                new_capped.select(
+                    "band_id", "band_hash",
+                    F.col("doc_id").alias("other_id"),
+                ),
+                ["band_id", "band_hash"],
+            )
+            .filter(F.col("doc_id") > F.col("other_id"))
+            .select("doc_id", "other_id")
+            .distinct()
+        )
+        cand = cand.unionByName(batch_cand).distinct()
+        other_toks = corpus_toks.unionByName(new_toks)
     ta = new_toks.select("doc_id", F.col("tokens").alias("ta"))
-    tb = corpus_toks.select(
-        F.col("doc_id").alias("corpus_id"), F.col("tokens").alias("tb")
+    tb = other_toks.select(
+        F.col("doc_id").alias("other_id"), F.col("tokens").alias("tb")
     )
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = F.size(F.array_union("ta", "tb")).cast("double")
     dup_ids = (
         cand.join(ta, "doc_id")
-        .join(tb, "corpus_id")
+        .join(tb, "other_id")
         .filter(F.round(inter / union, 6) >= jaccard_threshold)
         .select("doc_id")
         .distinct()

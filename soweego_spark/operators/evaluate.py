@@ -41,10 +41,14 @@ def pairwise_cluster_metrics(
     j = a.join(t, "id")
 
     def pairs2(cnt):
-        # n*(n-1) is always even: shiftright(…,1) is the EXACT integer
-        # halve (a double `/2` loses exactness past 2^53 pair counts —
-        # reachable at lake scale)
-        return F.shiftright(cnt * (cnt - F.lit(1)), 1)
+        # C(n,2) without materializing n*(n-1): halve the EVEN factor
+        # FIRST, because ANSI mode throws on int64 overflow and
+        # n*(n-1) overflows at n ≈ 3.04e9 while C(n,2) itself is
+        # representable to n ≈ 4.29e9 (CLAUDE.md: mask/split before
+        # multiply). A double `/2` would also lose exactness past 2^53.
+        return F.when(
+            cnt % 2 == 0, F.shiftright(cnt, 1) * (cnt - F.lit(1))
+        ).otherwise(cnt * F.shiftright(cnt - F.lit(1), 1))
 
     tp = (
         j.groupBy("cluster_id", "entity_id")

@@ -76,13 +76,17 @@ def gopher_quality(
         .groupBy("id")
         .agg(F.max("c").alias("top_bigram_count"))
     )
+    # word_count == 0 (empty/whitespace docs — exactly what the filter
+    # exists to reject) must yield a failing verdict, not a
+    # DIVIDE_BY_ZERO throw under Spark 4 ANSI mode
+    nz = F.greatest(F.col("word_count"), F.lit(1))
     j = base.join(grams, "id", "left").select(
         "id",
         F.col("word_count").cast("long").alias("word_count"),
-        (F.col("char_sum") / F.col("word_count")).alias("mean_word_len"),
-        (
-            F.col("distinct_words").cast("double") / F.col("word_count")
-        ).alias("distinct_ratio"),
+        (F.col("char_sum") / nz).alias("mean_word_len"),
+        (F.col("distinct_words").cast("double") / nz).alias(
+            "distinct_ratio"
+        ),
         (
             F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("double")
             / F.greatest(F.col("word_count") - 1, F.lit(1))
@@ -140,9 +144,13 @@ def deterministic_sample(
     the same input always yields the same sample, so logged samples are
     reproducible across runs and resumes; the TakeOrdered never
     materializes more than n rows on the driver.
+
+    The key columns are appended as tiebreakers so the ordering is total
+    whenever they identify rows; with duplicate keys the duplicate-key
+    ROWS themselves may carry different payloads and the cut between
+    them at the n boundary is layout-dependent — pass key columns that
+    uniquely identify rows (the caller owns that contract).
     """
     assert key_cols, "deterministic_sample needs at least one key column"
-    return (
-        df.orderBy(F.xxhash64(*[F.col(c) for c in key_cols]))
-        .limit(n)
-    )
+    keys = [F.col(c) for c in key_cols]
+    return df.orderBy(F.xxhash64(*keys), *keys).limit(n)

@@ -190,6 +190,19 @@ class jsonl_dir_emitter:
         if os.path.exists(tmp):
             os.replace(tmp, self._final(partition_id))
 
+    def cleanup(self) -> None:
+        """Remove leftover attempt temp files — losing speculative
+        attempts and failed tasks never rename theirs. Call DRIVER-side
+        after the action completes (emit_statements does), when every
+        surviving attempt has already published."""
+        import glob
+
+        for f in glob.glob(os.path.join(self.path, "part-*.jsonl.tmp")):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
 
 def emit_statements(
     df: DataFrame,
@@ -219,3 +232,8 @@ def emit_statements(
             finalize(pid)
 
     df.foreachPartition(handle)
+    # driver-side, after the action: any tmp file still present belongs
+    # to a losing/failed attempt
+    cleanup = getattr(emitter, "cleanup", None)
+    if cleanup is not None:
+        cleanup()

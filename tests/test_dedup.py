@@ -373,6 +373,9 @@ def test_incremental_minhash_matches_batch_cross_pairs(spark):
             (10, "the quick brown fox jumps over the lazy cat tonight"),
             (11, "completely unrelated fresh text with novel words here"),
             (12, "an entirely different corpus document about spark plans"),
+            # IN-BATCH near-dup of 11: no corpus match, must still drop
+            # (min-id survivor: 11 stays, 13 goes)
+            (13, "completely unrelated fresh text with novel phrases here"),
         ],
         "doc_id long, text string",
     )
@@ -384,15 +387,19 @@ def test_incremental_minhash_matches_batch_cross_pairs(spark):
     kept_ids = sorted(r["doc_id"] for r in kept.collect())
     assert kept_ids == [11]
 
+    # corpus-probe-only mode keeps both in-batch near-dups
+    kept_nb = incremental_minhash_neardup(
+        new, corpus, jaccard_threshold=0.7, within_batch=False
+    )
+    assert sorted(r["doc_id"] for r in kept_nb.collect()) == [11, 13]
+
     # cross-check vs the batch operator on the union
     both = corpus.unionByName(new)
     pairs = minhash_lsh_candidates(both, jaccard_threshold=0.7)
-    cross = {
-        r["doc_b"]
-        for r in pairs.collect()
-        if r["doc_a"] < 10 and r["doc_b"] >= 10
-    }
-    assert cross == {10, 12}  # exactly the dropped new docs
+    confirmed = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    cross = {b for a, b in confirmed if a < 10 and b >= 10}
+    assert cross == {10, 12}  # the corpus-dup drops
+    assert (11, 13) in confirmed  # the in-batch pair the default catches
 
 
 def test_incremental_minhash_reuses_persisted_bands(spark):

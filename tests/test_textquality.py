@@ -90,3 +90,17 @@ def test_deterministic_sample_stable_and_bounded(spark):
     assert len(s1) == 20
     assert s1 == s2  # partition-layout independent, unlike df.sample
     assert set(s1) <= set(range(500))
+
+
+def test_gopher_empty_and_whitespace_docs_fail_not_throw(spark):
+    """ANSI mode: zero-token docs must produce a failing verdict, not a
+    DIVIDE_BY_ZERO (empty/junk docs are the filter's whole purpose)."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "ok words here enough")],
+        "doc_id long, text string",
+    )
+    m = {r["id"]: r.asDict() for r in gopher_quality(docs).collect()}
+    assert m[1]["word_count"] == 0 and m[1]["quality_pass"] is False
+    assert m[2]["word_count"] == 0 and m[2]["quality_pass"] is False
+    assert m[1]["mean_word_len"] == 0.0 and m[1]["distinct_ratio"] == 0.0
+    assert m[3]["quality_pass"] is True
