@@ -248,6 +248,104 @@ def plan_claim_additions(
     )
 
 
+# Movie -> person properties, probed in THIS order by the IMDb
+# same-object check (reference wikidata/vocabulary.py:223-228)
+MOVIE_PIDS = ("P161", "P57", "P162", "P58", "P3092")
+
+
+def plan_works_statements(
+    proposed: DataFrame,
+    existing: DataFrame,
+    heuristic: str,
+    retrieved: str,
+    catalog_qid: str | None = None,
+    catalog_pid: str | None = None,
+    is_imdb: bool = False,
+    dead_qids: DataFrame | None = None,
+    redirects: DataFrame | None = None,
+) -> DataFrame:
+    """The works flavour of claim planning (_add_or_reference_works,
+    wikidata_bot.py:450-509): ``proposed(qid, pid, value[, catalog_id])``
+    where ``value`` must be a person QID — non-QID values are kept in the
+    plan as ``skip_invalid_value`` (the reference logs and skips). With
+    ``is_imdb`` the same-object check runs across ALL movie person
+    properties first: a claim under any of MOVIE_PIDS already pointing at
+    this person receives the reference instead (first matching pid in
+    vocabulary order wins, like the reference's loop). No
+    official-website check in this flavour — the works path doesn't do
+    one.
+    """
+    p = resolve_redirects(proposed, redirects, "qid")
+    if dead_qids is not None:
+        dead = dead_qids.select(
+            F.col("qid").alias("__dead_qid"), F.lit(True).alias("__dead")
+        ).distinct()
+        p = p.join(
+            F.broadcast(dead), p["qid"] == F.col("__dead_qid"), "left"
+        ).drop("__dead_qid")
+    else:
+        p = p.withColumn("__dead", F.lit(None).cast("boolean"))
+    person_qid = F.regexp_extract(F.col("value"), _QID_PREFIX, 0)
+    p = p.withColumn("__person", person_qid)
+
+    same_claim = (
+        existing.select("qid", "pid", F.col("value").alias("__person"))
+        .distinct()
+        .withColumn("__has_claim", F.lit(True))
+    )
+    j = p.join(same_claim, ["qid", "pid", "__person"], "left")
+    if is_imdb:
+        rank_expr = " ".join(
+            f"WHEN pid = '{mp}' THEN {i}" for i, mp in enumerate(MOVIE_PIDS)
+        )
+        movie = (
+            existing.filter(F.col("pid").isin(*MOVIE_PIDS))
+            .select("qid", "pid", F.col("value").alias("__person"))
+            .distinct()
+            .withColumn("__rank", F.expr(f"CASE {rank_expr} END"))
+            .groupBy("qid", "__person")
+            .agg(F.min_by("pid", "__rank").alias("__movie_pid"))
+        )
+        j = j.join(movie, ["qid", "__person"], "left")
+    else:
+        j = j.withColumn("__movie_pid", F.lit(None).cast("string"))
+
+    action = (
+        F.when(F.col("__dead"), F.lit("skip_dead"))
+        .when(F.col("__person") == "", F.lit("skip_invalid_value"))
+        .when(F.col("__movie_pid").isNotNull(), F.lit("add_reference"))
+        .when(F.col("__has_claim"), F.lit("add_reference"))
+        .otherwise(F.lit("add_claim"))
+    )
+    ref_target = (
+        F.when(F.col("__dead") | (F.col("__person") == ""), F.lit(None))
+        .when(F.col("__movie_pid").isNotNull(), F.col("__movie_pid"))
+        .otherwise(F.col("pid"))
+    )
+    cat_col = (
+        F.col("catalog_id") if "catalog_id" in proposed.columns else None
+    )
+    refs = reference_node(
+        heuristic,
+        retrieved,
+        catalog_qid=catalog_qid,
+        catalog_pid=catalog_pid,
+        catalog_id_col=cat_col,
+    )
+    keep = [c for c in proposed.columns]
+    return j.select(
+        *keep,
+        F.when(F.col("__person") != "", F.col("__person")).alias(
+            "person_qid"
+        ),
+        action.alias("action"),
+        ref_target.alias("ref_target_pid"),
+        F.when(action.isin("add_claim", "add_reference"), refs).alias(
+            "references"
+        ),
+    )
+
+
 def plan_identifier_actions(
     invalid: DataFrame,
     existing: DataFrame,

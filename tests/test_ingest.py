@@ -180,3 +180,55 @@ def test_plan_feeds_payload_emitter(spark, tmpdir):
     assert len(rows) == 1
     assert rows[0]["action"] == "add_claim"
     assert rows[0]["references"][0]["pid"] == ig.BASED_ON_HEURISTIC
+
+
+def test_plan_works_statements_imdb_matrix(spark):
+    """Works flavour (wikidata_bot.py:450-509): non-QID person skipped,
+    IMDb same-object check references the FIRST movie pid in vocabulary
+    order that already points at the person, plain matches reference
+    their own pid, novel links become claims."""
+    existing = spark.createDataFrame(
+        [
+            ("Q1", "P57", "Q77"),    # director already = person
+            ("Q1", "P161", "Q77"),   # ALSO cast member (P161 wins: order)
+            ("Q2", "P58", "Q88"),    # screenwriter claim, exact pid match
+        ],
+        "qid string, pid string, value string",
+    )
+    proposed = spark.createDataFrame(
+        [
+            ("Q1", "P162", "Q77", "tt1"),      # person under other pids
+            ("Q2", "P58", "Q88", "tt2"),       # exact claim exists
+            ("Q3", "P57", "Q99", "tt3"),       # novel
+            ("Q4", "P57", "not-a-qid", "tt4"), # invalid person
+        ],
+        "qid string, pid string, value string, catalog_id string",
+    )
+    plan = ig.plan_works_statements(
+        proposed, existing, heuristic="Q1266546", retrieved="2026-08-16",
+        catalog_qid="Q14005", catalog_pid="P345", is_imdb=True,
+    )
+    got = {
+        r["qid"]: (r["action"], r["ref_target_pid"], r["person_qid"])
+        for r in plan.collect()
+    }
+    assert got["Q1"] == ("add_reference", "P161", "Q77")
+    assert got["Q2"] == ("add_reference", "P58", "Q88")
+    assert got["Q3"] == ("add_claim", "P57", "Q99")
+    assert got["Q4"][0] == "skip_invalid_value"
+    assert got["Q4"][2] is None
+
+
+def test_plan_works_statements_non_imdb_skips_movie_sweep(spark):
+    """Without is_imdb the cross-pid same-object check must NOT fire."""
+    existing = spark.createDataFrame(
+        [("Q1", "P57", "Q77")], "qid string, pid string, value string"
+    )
+    proposed = spark.createDataFrame(
+        [("Q1", "P162", "Q77")], "qid string, pid string, value string"
+    )
+    plan = ig.plan_works_statements(
+        proposed, existing, heuristic="Q1", retrieved="2026-08-16",
+        is_imdb=False,
+    )
+    assert plan.first()["action"] == "add_claim"
