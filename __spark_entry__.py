@@ -656,17 +656,21 @@ def _q_minhash_sql(num_perm: int = 64, bands: int = 16, n: int = 3,
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion near-dedup (dedup.incremental_minhash_neardup,
     md5 family): odd doc_ids are the 'new batch', even doc_ids the
-    persisted corpus; a new doc survives unless its exact token Jaccard
-    against a band-colliding corpus doc reaches 0.8. Fully oracled — the
-    md5 Kirsch-Mitzenmacher signatures, band probes, cap, and confirm all
-    replay in DuckDB."""
+    persisted corpus; a new doc survives unless its exact shingle-set
+    Jaccard against a band-colliding corpus OR earlier-batch doc reaches
+    0.8. Shingles, not unigram sets — this corpus has a 31-word
+    vocabulary, so unigram band buckets collide pathologically (measured
+    117 s at sf0.1 vs ~5 s with shingles; shingled text is also what the
+    north_star prescribes for MinHash). Fully oracled — the md5
+    Kirsch-Mitzenmacher signatures, band probes, caps, in-batch pass,
+    and confirm all replay in DuckDB."""
     from soweego_spark.operators.dedup import (
         incremental_minhash_neardup,
-        token_sets,
+        shingles,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    toks = token_sets(docs)
+    toks = shingles(docs, n=3)
     kept = incremental_minhash_neardup(
         toks.filter(F.col("doc_id") % 2 == 1),
         toks.filter(F.col("doc_id") % 2 == 0),
@@ -676,12 +680,13 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
-def _q_incremental_sql(num_perm: int = 64, bands: int = 16,
+def _q_incremental_sql(num_perm: int = 64, bands: int = 16, n: int = 3,
                        cap: int = 10_000, t: float = 0.8) -> str:
     """DuckDB replica of q_incremental_neardup: signatures computed once
     over all docs (they are doc-local), banded, split by parity; new
-    bands probe capped corpus buckets; exact-Jaccard confirm; survivors
-    = new docs with no confirmed corpus match."""
+    bands probe capped corpus buckets AND capped same-batch buckets
+    (earlier-id side); exact-Jaccard confirm; survivors = new docs with
+    no confirmed match."""
     from soweego_spark.operators.dedup import PERM_MASK_55, PERM_MASK_60
 
     rows = num_perm // bands
@@ -701,11 +706,18 @@ def _q_incremental_sql(num_perm: int = 64, bands: int = 16,
     tok_hash = _MD5_H.format(x="tok")
     tok_hash2 = _MD5_H.format(x="('s:' || tok)")
     return f"""
-    WITH toks AS (
+    WITH words AS (
         SELECT doc_id,
-               list_sort(list_distinct(list_filter(
-                   string_split(lower(text), ' '), w -> w <> ''))) AS tokens
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
         FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   [array_to_string(w[i:i+{n - 1}], ' ')
+                    FOR i IN range(1, greatest(len(w) - {n}, 0) + 2)]
+               )) AS tokens
+        FROM words
     ),
     tokh AS (
         SELECT doc_id, {tok_hash} AS h1,
