@@ -1947,15 +1947,22 @@ def q_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from soweego_spark.operators.classify import train_logistic
     from soweego_spark.operators.pairfeatures import FEATURE_COLUMNS
 
-    feats = _pair_feature_frame(spark, sf_dir)
+    # cache: the feature frame feeds BOTH the training collect and the
+    # returned scoring plan — same shape as plans/pipeline.py's cached
+    # feature stage (recomputing featurize was ~12 s of this query's
+    # 21 s at sf0.1); session-scoped, the gate/bench sessions are
+    # one-shot
+    feats = _pair_feature_frame(spark, sf_dir).cache()
     labeled = _labeled_feature_subset(feats).select(
         "url_a", "url_b", *FEATURE_COLUMNS, "label"
     )
-    rows = sorted(
-        labeled.collect(), key=lambda r: (r["url_a"], r["url_b"])
-    )
-    X = np.array([[r[c] for c in FEATURE_COLUMNS] for r in rows], dtype=np.float64)
-    y = np.array([r["label"] for r in rows], dtype=np.float64)
+    # Arrow toPandas, not collect(): row pickling was most of this
+    # query's wall at sf0.1 (166k labeled rows). Sort exactly like the
+    # oracle's replay — python/pandas lexicographic on the ASCII pair
+    # key — so the training matrix is row-identical in both engines.
+    pdf = labeled.toPandas().sort_values(["url_a", "url_b"], kind="mergesort")
+    X = pdf[FEATURE_COLUMNS].to_numpy(dtype=np.float64)
+    y = pdf["label"].to_numpy(dtype=np.float64)
     model = train_logistic(X, y)
     margin = F.lit(float(model.bias))
     for name, w in zip(model.features, model.weights):
