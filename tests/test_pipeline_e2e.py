@@ -79,3 +79,32 @@ def test_all_pages_assigned_to_exactly_one_cluster(result, fixture):
     n_pages = len(fixture.pages)
     assert result.clusters.count() == n_pages
     assert result.clusters.select("url").distinct().count() == n_pages
+
+
+def test_pipeline_survives_degenerate_pages(spark):
+    """Null text/html/lang, empty strings, whitespace-only names: web
+    crawls contain all of these; under Spark 4 ANSI mode any unguarded
+    cast/divide would kill the job. They must flow through as inert
+    singletons instead."""
+    from datetime import datetime
+
+    from soweego_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from soweego_spark.sources.pages import generate_pages, pages_to_spark
+
+    fx = generate_pages(n_entities=60, seed=7)
+    pages, _, labeled, _ = pages_to_spark(spark, fx)
+    ts = datetime(2020, 1, 1)
+    extra = spark.createDataFrame(
+        [
+            ("https://x.test/null", None, None, None, None),
+            ("https://x.test/empty", ts, b"", "", "en"),
+            ("https://x.test/ws", ts, b"<html></html>", "   ", None),
+        ],
+        pages.schema,
+    )
+    res = run_pipeline(spark, pages.unionByName(extra), labeled,
+                       PipelineConfig())
+    assert res.metrics["f1"] >= 0.99
+    # the degenerate pages survive as singleton clusters, not crashes
+    urls = {r["url"] for r in res.clusters.collect()}
+    assert "https://x.test/null" in urls and "https://x.test/ws" in urls
