@@ -1723,8 +1723,14 @@ _Q_URL_BLACKLIST_SQL = """
                END AS url
         FROM documents
     )
-    SELECT doc_id, url FROM stmts
-    WHERE lower(regexp_extract(url, '^[a-z]+://(?:www\\.)?([^/:]+)', 1))
+    SELECT doc_id, url FROM (
+        SELECT doc_id, url,
+               regexp_extract(lower(url),
+                   '^[a-z][a-z0-9+.-]*://(?:www\\.)?([^/:]+)', 1) AS d
+        FROM stmts
+    )
+    WHERE d NOT IN ('spam-mirror.example', 'linkfarm.example')
+      AND regexp_extract(d, '([^.]+\\.[^.]+)$', 1)
           NOT IN ('spam-mirror.example', 'linkfarm.example')
 """
 
@@ -2483,9 +2489,9 @@ _Q_STATEMENT_PLAN_SQL = """
     typed AS (
         SELECT *,
                regexp_extract(value, '^Q\\d+', 0) AS qpfx,
-               regexp_extract(value, '^(\\d{4}-\\d{2}-\\d{2})/(\\d+)$', 1)
+               regexp_extract(value, '^(\\d{4}-\\d{2}-\\d{2})/(\\d{1,2})$', 1)
                    AS dstr,
-               regexp_extract(value, '^(\\d{4}-\\d{2}-\\d{2})/(\\d+)$', 2)
+               regexp_extract(value, '^(\\d{4}-\\d{2}-\\d{2})/(\\d{1,2})$', 2)
                    AS dprec
         FROM joined
     )
@@ -2550,7 +2556,7 @@ _Q_MNM_SQL = """
         FROM orders
     )
     SELECT 42 AS catalog,
-           CAST(regexp_replace(qid, '^Q', '') AS BIGINT) AS q,
+           TRY_CAST(regexp_replace(qid, '^Q', '') AS BIGINT) AS q,
            tid AS ext_id, tid AS ext_name,
            'https://catalog.example/' || tid AS ext_url,
            'Q5' AS type,
@@ -2558,6 +2564,7 @@ _Q_MNM_SQL = """
            0 AS user, '20260816000000' AS timestamp
     FROM matches
     WHERE score >= 0.3 AND score <= 0.9 AND ok % 7 <> 0
+      AND TRY_CAST(regexp_replace(qid, '^Q', '') AS BIGINT) IS NOT NULL
 """
 
 

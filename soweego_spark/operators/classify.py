@@ -180,10 +180,18 @@ def apply_rules(
         rule_cols = [
             "a_name_tokens", "b_name_tokens", "a_urls", "b_urls",
         ] + [c for c in ("a_ext_ids", "b_ext_ids") if c in pair_rows.columns]
-        df = df.join(
-            pair_rows.select("url_a", "url_b", *rule_cols),
-            ["url_a", "url_b"],
-        )
+        # only the columns scored does NOT already carry (an inner join
+        # on overlapping names would raise ambiguous-reference), and a
+        # LEFT join: a scored pair missing from pair_rows must keep its
+        # score untouched (null rule inputs no-op via the isNotNull
+        # guards below), never silently vanish from the output
+        missing = [c for c in rule_cols if c not in df.columns]
+        if missing:
+            df = df.join(
+                pair_rows.select("url_a", "url_b", *missing),
+                ["url_a", "url_b"],
+                "left",
+            )
     out = F.col("score")
     if name_rule:
         disjoint = (

@@ -237,15 +237,17 @@ def minhash_lsh_candidates(
     signed = minhash_signatures(toks, num_perm=num_perm, hash_family=hash_family)
     banded = band_keys(signed, num_perm=num_perm, bands=bands)
 
-    # Skew guard: drop buckets larger than the cap before the self-join.
+    # Skew guard: drop buckets larger than the cap before the self-join —
+    # broadcast anti join on the tiny over-cap list, never the full
+    # under-cap bucket set (the whole corpus's band table at web scale).
     bucket_counts = banded.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )
+    hot = bucket_counts.filter(F.col("bucket_n") > max_bucket_size).select(
+        "band_id", "band_hash"
+    )
     capped = banded.join(
-        bucket_counts.filter(F.col("bucket_n") <= max_bucket_size).select(
-            "band_id", "band_hash"
-        ),
-        ["band_id", "band_hash"],
+        F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
     )
 
     left = capped.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
@@ -292,6 +294,13 @@ def simhash_signatures(
     whole-stage codegen; ground truth pinned by
     tests/test_dedup.py::test_simhash_signature_truth).
     """
+    # md5_60 is a 60-bit hash: with bits > 60 the top signature bits are
+    # constant, so the highest pigeonhole block barely varies, its buckets
+    # blow past the cap and get dropped, and the "one block must match"
+    # recall guarantee silently breaks. Enforce instead of document.
+    assert not (hash_family == "md5" and bits > 60), (
+        "md5 hash family supports at most bits=60"
+    )
     toks = token_sets(docs, id_col=id_col, text_col=text_col)
     token_hash = (
         md5_60(F.col("token")) if hash_family == "md5"
@@ -370,13 +379,11 @@ def simhash_pairs(
     bucket_counts = banded.groupBy("block_id", "block_val").agg(
         F.count("*").alias("bucket_n")
     )
-    capped = banded.join(
-        bucket_counts.filter(F.col("bucket_n") <= max_bucket_size).select(
-            "block_id", "block_val"
-        ),
-        ["block_id", "block_val"],
+    hot = bucket_counts.filter(F.col("bucket_n") > max_bucket_size).select(
+        "block_id", "block_val"
     )
-
+    capped = banded.join(F.broadcast(hot), ["block_id", "block_val"],
+                         "left_anti")
     left = capped.select(
         "block_id", "block_val",
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
@@ -405,16 +412,20 @@ def exact_duplicates(
 ) -> DataFrame:
     """Exact dedup via hash-groupBy on a content fingerprint.
 
-    Grouping on ``xxhash64(text)`` instead of the full text keeps shuffle
-    rows small at 100 TB (8 bytes vs whole documents); collision
-    probability at 10^12 docs is handled by grouping on (hash, length).
+    Grouping on a fingerprint instead of the full text keeps shuffle rows
+    small at 100 TB (~30 bytes vs whole documents). The key is
+    (xxhash64, md5, length) — ~192 bits: 64 bits alone would silently
+    merge distinct documents at 10^12 docs (expected collisions
+    ≈ n²/2⁶⁵, tens of thousands), same rationale as
+    :func:`incremental_exact_dedup`.
     """
     keyed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.xxhash64(F.col(text_col)).alias("content_hash"),
+        F.md5(F.col(text_col).cast("binary")).alias("content_md5"),
         F.length(F.col(text_col)).alias("content_len"),
     )
-    return keyed.groupBy("content_hash", "content_len").agg(
+    return keyed.groupBy("content_hash", "content_md5", "content_len").agg(
         F.min("doc_id").alias("rep_doc_id"),
         F.count("*").alias("n_copies"),
     )
@@ -491,8 +502,8 @@ def fingerprint_neardup(
         hash_family=hash_family,
     )
     counts = fp.groupBy("fingerprint").agg(F.count("*").alias("df"))
-    keep = counts.filter(F.col("df") <= max_df).select("fingerprint")
-    fp = fp.join(F.broadcast(keep), "fingerprint")
+    hot = counts.filter(F.col("df") > max_df).select("fingerprint")
+    fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
     left = fp.select("fingerprint", F.col("doc_id").alias("doc_a"))
     right = fp.select("fingerprint", F.col("doc_id").alias("doc_b"))
     return (

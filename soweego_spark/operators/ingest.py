@@ -44,7 +44,9 @@ TWITTER_USERNAME_PID = "P2002"
 CASE_INSENSITIVE_PIDS = (FACEBOOK_PID, TWITTER_USERNAME_PID)
 
 _QID_PREFIX = r"^Q\d+"
-_DATE_SLASH = r"^(\d{4}-\d{2}-\d{2})/(\d+)$"
+# precision bounded to 2 digits: Wikidata time precisions are 0-14, and
+# an unbounded \d+ capture would overflow the int cast (ANSI throws)
+_DATE_SLASH = r"^(\d{4}-\d{2}-\d{2})/(\d{1,2})$"
 
 
 def parse_statement_value(value):
@@ -218,12 +220,17 @@ def plan_claim_additions(
 
     action = (
         F.when(F.col("__dead"), F.lit("skip_dead"))
+        # a NULL value can neither match nor upload; keep it auditable
+        .when(F.col("value").isNull(), F.lit("skip_invalid_value"))
         .when(F.col("__has_website"), F.lit("add_reference"))
         .when(F.col("__has_claim"), F.lit("add_reference"))
         .otherwise(F.lit("add_claim"))
     )
     ref_target = (
-        F.when(F.col("__dead"), F.lit(None).cast("string"))
+        F.when(
+            F.col("__dead") | F.col("value").isNull(),
+            F.lit(None).cast("string"),
+        )
         .when(F.col("__has_website"), F.lit(OFFICIAL_WEBSITE))
         .when(F.col("__has_claim"), F.col("pid"))
         .otherwise(F.col("pid"))
@@ -244,7 +251,9 @@ def plan_claim_additions(
         parse_statement_value(F.col("value")).alias("parsed_value"),
         action.alias("action"),
         ref_target.alias("ref_target_pid"),
-        F.when(action != "skip_dead", refs).alias("references"),
+        F.when(action.isin("add_claim", "add_reference"), refs).alias(
+            "references"
+        ),
     )
 
 
@@ -310,15 +319,16 @@ def plan_works_statements(
     else:
         j = j.withColumn("__movie_pid", F.lit(None).cast("string"))
 
+    invalid_person = F.col("__person").isNull() | (F.col("__person") == "")
     action = (
         F.when(F.col("__dead"), F.lit("skip_dead"))
-        .when(F.col("__person") == "", F.lit("skip_invalid_value"))
+        .when(invalid_person, F.lit("skip_invalid_value"))
         .when(F.col("__movie_pid").isNotNull(), F.lit("add_reference"))
         .when(F.col("__has_claim"), F.lit("add_reference"))
         .otherwise(F.lit("add_claim"))
     )
     ref_target = (
-        F.when(F.col("__dead") | (F.col("__person") == ""), F.lit(None))
+        F.when(F.col("__dead") | invalid_person, F.lit(None))
         .when(F.col("__movie_pid").isNotNull(), F.col("__movie_pid"))
         .otherwise(F.col("pid"))
     )
@@ -393,8 +403,13 @@ def plan_mnm_entries(
     ``timestamp`` ('YYYYmmddHHMMSS') is caller-supplied for determinism.
     """
     lo, hi = confidence_range
+    # try_cast + filter: a malformed qid must drop the ROW, not throw
+    # NumberFormatException under ANSI and kill the whole plan build
+    q_num = F.regexp_replace(F.col("qid"), r"^Q", "").try_cast("long")
     m = matches.filter(
-        (F.col("score") >= F.lit(lo)) & (F.col("score") <= F.lit(hi))
+        (F.col("score") >= F.lit(lo))
+        & (F.col("score") <= F.lit(hi))
+        & q_num.isNotNull()
     )
     if curated is not None:
         m = m.join(
@@ -407,7 +422,7 @@ def plan_mnm_entries(
     )
     return m.select(
         F.lit(catalog_id).alias("catalog"),
-        F.regexp_replace(F.col("qid"), r"^Q", "").cast("long").alias("q"),
+        F.regexp_replace(F.col("qid"), r"^Q", "").try_cast("long").alias("q"),
         F.col("tid").alias("ext_id"),
         F.col("tid").alias("ext_name"),
         url.alias("ext_url"),

@@ -277,7 +277,9 @@ def sample_video_frames(
                 content = bytes(content or b"")
                 if duration <= 0 or not content:
                     continue
-                step_ms = int(1000 / fps)
+                # fps > 1000 would truncate to step 0 (range() raises);
+                # clamp to the 1 ms metadata resolution
+                step_ms = max(1, round(1000 / fps))
                 for i, off in enumerate(range(0, duration, step_ms)):
                     # stub "frame": 64-byte slice proportional to position
                     pos = int(len(content) * off / duration)

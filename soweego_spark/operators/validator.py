@@ -289,14 +289,37 @@ def url_blacklist_filter(
     url_col: str = "url",
 ) -> DataFrame:
     """P7 (checks.py:687-703): drop statements whose URL domain hits the
-    blacklist — the O(n*m) substring loop becomes a broadcast anti join on
-    the parsed domain."""
+    blacklist — the O(n*m) substring loop becomes two broadcast anti
+    joins on parsed keys.
+
+    Robustness the reference's substring check had for free and an exact
+    domain join loses: the URL is lowercased BEFORE parsing (uppercase
+    schemes/hosts are legal), and a second anti join on the last-two-label
+    suffix catches subdomain mirrors ('m.spam.example' vs blacklist entry
+    'spam.example'). Entries with more than two labels still match via
+    the full-domain join; public-suffix subtleties (co.uk) are the
+    blacklist author's concern, as in the reference.
+    """
     spark = statements.sparkSession
-    bl = spark.createDataFrame([(d,) for d in blacklist], "domain string")
-    with_domain = statements.withColumn(
-        "domain",
-        F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://(?:www\.)?([^/:]+)", 1)),
+    bl = spark.createDataFrame([(d.lower(),) for d in blacklist],
+                               "__bl_key string")
+    host = F.regexp_extract(
+        F.lower(F.col(url_col)),
+        r"^[a-z][a-z0-9+.-]*://(?:www\.)?([^/:]+)",
+        1,
     )
-    return with_domain.join(
-        F.broadcast(bl), "domain", "left_anti"
-    ).drop("domain")
+    base2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    tagged = statements.withColumn("__bl_domain", host).withColumn(
+        "__bl_base2", base2
+    )
+    out = tagged.join(
+        F.broadcast(bl),
+        tagged["__bl_domain"] == bl["__bl_key"],
+        "left_anti",
+    )
+    out = out.join(
+        F.broadcast(bl),
+        out["__bl_base2"] == bl["__bl_key"],
+        "left_anti",
+    )
+    return out.drop("__bl_domain", "__bl_base2")

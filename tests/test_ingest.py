@@ -232,3 +232,45 @@ def test_plan_works_statements_non_imdb_skips_movie_sweep(spark):
         is_imdb=False,
     )
     assert plan.first()["action"] == "add_claim"
+
+
+def test_null_values_become_skips_not_uploads(spark):
+    """NULL statement values can neither match nor upload: both planners
+    must keep them auditable as skip_invalid_value, and mnm planning must
+    drop malformed qids instead of throwing under ANSI."""
+    existing = spark.createDataFrame(
+        [], "qid string, pid string, value string"
+    )
+    proposed = spark.createDataFrame(
+        [("Q1", "P1476", None)], "qid string, pid string, value string"
+    )
+    row = ig.plan_claim_additions(
+        proposed, existing, heuristic="Q1", retrieved="2026-08-16"
+    ).first()
+    assert row["action"] == "skip_invalid_value"
+    assert row["references"] is None
+
+    works_row = ig.plan_works_statements(
+        proposed, existing, heuristic="Q1", retrieved="2026-08-16"
+    ).first()
+    assert works_row["action"] == "skip_invalid_value"
+
+    matches = spark.createDataFrame(
+        [("Q1", "a", 0.9), ("q2", "b", 0.9), ("urn:x", "c", 0.9)],
+        "qid string, tid string, score double",
+    )
+    plan = ig.plan_mnm_entries(
+        matches, catalog_id=1, class_qid="Q5", timestamp="20260816000000"
+    ).collect()
+    # 'q2' strips no 'Q' prefix and try_casts to NULL; 'urn:x' likewise —
+    # only the well-formed row survives, nothing throws
+    assert [(r["ext_id"], r["q"]) for r in plan] == [("a", 1)]
+
+
+def test_bounded_precision_is_string_not_crash(spark):
+    df = spark.createDataFrame(
+        [("2020-01-01/99999999999",), ("2020-01-01/9",)], "value string"
+    ).select("value", ig.parse_statement_value(F.col("value")).alias("p"))
+    got = {r["value"]: r["p"].asDict() for r in df.collect()}
+    assert got["2020-01-01/99999999999"]["value_type"] == "string"
+    assert got["2020-01-01/9"]["value_type"] == "time"

@@ -336,3 +336,35 @@ def test_resolve_unmatched_claims_custom_resolver_batched(spark):
         ).collect()
     }
     assert got == {(1, "p", f"Q{i}") for i in range(4)}
+
+
+def test_url_blacklist_case_and_subdomain(spark):
+    """Uppercase schemes and subdomain mirrors must not evade the
+    blacklist (the reference's substring loop caught both)."""
+    from soweego_spark.operators.validator import url_blacklist_filter
+
+    stmts = spark.createDataFrame(
+        [
+            (1, "HTTP://SPAM.EXAMPLE/x"),
+            (2, "https://m.spam.example/y"),
+            (3, "https://www.spam.example/z"),
+            (4, "https://deep.mirror.spam.example/w"),
+            (5, "https://fine.example/ok"),
+            (6, "https://notspam.example/ok"),
+        ],
+        "sid long, url string",
+    )
+    kept = {r["sid"] for r in
+            url_blacklist_filter(stmts, ["spam.example"]).collect()}
+    assert kept == {5, 6}
+
+
+def test_url_blacklist_preserves_caller_domain_column(spark):
+    from soweego_spark.operators.validator import url_blacklist_filter
+
+    stmts = spark.createDataFrame(
+        [(1, "https://ok.example/a", "precomputed")],
+        "sid long, url string, domain string",
+    )
+    out = url_blacklist_filter(stmts, ["spam.example"]).collect()
+    assert out[0]["domain"] == "precomputed"
