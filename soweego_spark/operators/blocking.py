@@ -270,15 +270,19 @@ def subset_token_pairs(
     the target's token-set size. Token sets of size <= 1 are excluded on
     both sides (baseline.py:344-347).
 
-    Hot tokens are capped on BOTH sides (skew guard; correctness-neutral
-    for linking): a token over ``token_df_cap`` on the wd side OR over
-    ``target_df_cap`` (defaults to ``token_df_cap``) on the target side is
-    dropped from the join's wd side, which (a) kills the df_l x df_r
+    Hot tokens are always capped on the wd side (``token_df_cap``), and
+    OPTIONALLY on the target side: pass ``target_df_cap`` to also drop
+    tokens whose TARGET-side document frequency exceeds it. The target cap
+    is opt-in (default ``None`` = no target-side cap — the original
+    semantics) because it changes recall: a target set containing any
+    target-hot token is disqualified even when genuinely contained and
+    held together by additional rare tokens, since ``n_matched`` can no
+    longer reach ``_r_size``. When enabled it kills the df_l x df_r
     fan-out a boilerplate-hot target token would otherwise cause — a
-    single such token can dominate the shuffle at 100x scale — and (b)
-    automatically disqualifies every target set containing it, because
-    ``n_matched`` can no longer reach ``_r_size`` (a pair held together
-    only by a boilerplate token carries no subset signal).
+    single such token can dominate the shuffle at 100x scale — which is
+    usually the right trade for web-scale linking (a pair held together
+    only by a boilerplate token carries no subset signal), but callers
+    tuned to the uncapped recall must opt in explicitly.
     """
     l_tok = (
         wd.filter(F.size(token_col) > 1)
@@ -301,16 +305,15 @@ def subset_token_pairs(
         .filter(F.col("df") > token_df_cap)
         .select("token")
     )
-    hot_r = (
-        r_tok.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .filter(
-            F.col("df")
-            > (token_df_cap if target_df_cap is None else target_df_cap)
+    hot = hot_l
+    if target_df_cap is not None:
+        hot_r = (
+            r_tok.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > target_df_cap)
+            .select("token")
         )
-        .select("token")
-    )
-    hot = hot_l.unionByName(hot_r).distinct()
+        hot = hot_l.unionByName(hot_r).distinct()
     l_tok = l_tok.join(F.broadcast(hot), "token", "left_anti")
 
     matched = (

@@ -146,11 +146,15 @@ def minhash_signatures(
     if hash_family == "md5":
         # Signed-64 safety bound for h1 + i*h2 under ANSI mode: h1 < 2^60
         # and h2 < 2^55, so h1 + i*h2 <= 2^60 + i*2^55 stays below 2^63
-        # exactly for i <= 224 (224*2^55 + 2^60 = 2^63). Enforce it — a
-        # larger num_perm would THROW mid-job under Spark 4 ANSI mode.
-        assert num_perm <= 224, (
-            f"md5 hash family supports num_perm <= 224, got {num_perm}"
-        )
+        # for i <= 223 (at i = 224 the worst case 224*2^55 + 2^60 EQUALS
+        # 2^63 and overflows signed 64). num_perm permutations use
+        # i = 0..num_perm-1, so num_perm <= 224 is the exact limit.
+        # ValueError, not assert: the guard must survive `python -O`,
+        # because a larger num_perm THROWS mid-job under Spark 4 ANSI mode.
+        if num_perm > 224:
+            raise ValueError(
+                f"md5 hash family supports num_perm <= 224, got {num_perm}"
+            )
         # Two md5s per token + num_perm cheap arithmetic projections
         # (Kirsch-Mitzenmacher, see PERM_MASK_60 note) — DuckDB-replicable
         # for the oracle gate and cheaper than num_perm independent hashes.

@@ -18,7 +18,10 @@ from soweego_spark.operators.pairfeatures import FEATURE_COLUMNS
 
 
 def pairwise_cluster_metrics(
-    assign: DataFrame, truth: DataFrame, id_col: str = "url"
+    assign: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    labeled_only: bool = False,
 ) -> DataFrame:
     """Pairwise precision/recall/F1 of a clustering vs ground truth WITHOUT
     materializing pairs: with contingency counts n_ct = |cluster c ∩ truth
@@ -27,17 +30,30 @@ def pairwise_cluster_metrics(
     At 10^12 docs the pair sets are astronomically large; the sufficient
     statistics never are.
 
+    Denominator contract — the two modes differ when the id sets of
+    ``assign`` and ``truth`` only partially overlap:
+
+    * ``labeled_only=False`` (default): predicted_pairs counts ALL
+      assignment pairs and actual_pairs ALL truth pairs. Pairs involving
+      an id absent from the other frame can never be TP, so precision and
+      recall are penalized by unlabeled/unassigned ids. This is the
+      full-assignment grading of the north rule's cluster output (an
+      unassigned labeled doc IS a recall failure of the pipeline).
+    * ``labeled_only=True``: both frames are first restricted to ids
+      present in BOTH (a semi-join each way), so P/R/F1 are computed over
+      the labeled index only — the reference's evaluation convention
+      (linker/evaluate.py scores only indexed labeled pairs).
+
     Integer arithmetic throughout (C(n,2) = n*(n-1)/2 exact in int64 up
     to n ~ 4.3e9 members per cell), three final divisions — so the output
     is engine-exact. Returns ONE row: (tp_pairs, predicted_pairs,
     actual_pairs, precision, recall, f1).
-
-    Reference analogue: evaluate.py's pairwise P/R/F1 over the labeled
-    index — generalized to full assignments for the north rule's
-    transitive-cluster output.
     """
     a = assign.select(F.col(id_col).alias("id"), "cluster_id")
     t = truth.select(F.col(id_col).alias("id"), "entity_id")
+    if labeled_only:
+        a = a.join(t.select("id"), "id", "left_semi")
+        t = t.join(assign.select(F.col(id_col).alias("id")), "id", "left_semi")
     j = a.join(t, "id")
 
     def pairs2(cnt):

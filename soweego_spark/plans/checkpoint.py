@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +60,14 @@ class StageCheckpointer:
         return d, d / MANIFEST_NAME
 
     def _table_name(self, stage: str) -> str:
+        # The stage name is interpolated into CREATE/DROP TABLE statements;
+        # restrict it to a plain SQL identifier so a hyphen/dot (or worse)
+        # can never produce a malformed or injected statement.
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", stage):
+            raise ValueError(
+                "bucketed stage name must be a SQL identifier "
+                f"([A-Za-z_][A-Za-z0-9_]*), got {stage!r}"
+            )
         tag = hashlib.sha256(
             str(self.root.resolve()).encode("utf8")
         ).hexdigest()[:10]
@@ -79,12 +88,15 @@ class StageCheckpointer:
                 if spec.get("sort_cols")
                 else ""
             )
+            # escape quotes in the LOCATION string literal — a root path
+            # containing a single quote must not break the statement
+            loc = str(data_dir).replace("'", "''")
             self.spark.sql(
                 f"CREATE TABLE {tbl} ({manifest['schema_ddl']}) "
                 f"USING PARQUET "
                 f"CLUSTERED BY ({', '.join(spec['bucket_cols'])}) "
                 f"{sort}INTO {spec['n_buckets']} BUCKETS "
-                f"LOCATION '{data_dir}'"
+                f"LOCATION '{loc}'"
             )
         return self.spark.table(tbl)
 

@@ -153,6 +153,16 @@ class jsonl_dir_emitter:
     longer interleave writes into one file; whichever finishes last wins
     whole-file (both wrote identical content from the same partition).
     Plain truncate-then-append is only retry-safe for SEQUENTIAL retries.
+
+    REQUIRES a filesystem shared by driver and executors (NFS or
+    local-mode): ``__call__``/``finalize`` run on executors while
+    ``cleanup`` runs on the driver, so on a multi-node cluster with
+    executor-local disks the outputs would be scattered per executor and
+    driver-side cleanup would miss losing attempts' tmp files. This is by
+    design — it is the OFFLINE sink (external uploads are out of scope by
+    policy); a distributed deployment should emit to a distributed sink
+    (e.g. ``df.write`` to the lake, or a network emitter injected into
+    ``emit_statements``) instead.
     """
 
     def __init__(self, path: str):

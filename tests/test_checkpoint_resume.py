@@ -46,6 +46,27 @@ def test_stage_memoization_and_invalidation(spark, root):
     assert mf["config_hash"] == config_hash({"alpha": 2})
 
 
+def test_bucketed_stage_name_must_be_identifier(spark, root):
+    """Stage names reach CREATE/DROP TABLE statements for bucketed stages:
+    a non-identifier name must fail fast with ValueError, not produce a
+    malformed SQL statement."""
+    ck = StageCheckpointer(
+        root, spark,
+        bucket_specs={"bad-stage.name": {"bucket_cols": ["x"], "n_buckets": 2}},
+    )
+    with pytest.raises(ValueError, match="identifier"):
+        ck.stage(
+            "bad-stage.name", {"a": 1},
+            lambda: spark.range(3).withColumnRenamed("id", "x"),
+        )
+    # non-bucketed stages never touch SQL — any directory-safe name is fine
+    ok = ck.stage(
+        "ok-stage.name", {"a": 1},
+        lambda: spark.range(3).withColumnRenamed("id", "x"),
+    )
+    assert ok.count() == 3
+
+
 def test_pipeline_resume_skips_stages(spark, root, monkeypatch):
     fx = generate_pages(120, seed=11)
     pages = spark.createDataFrame(fx.pages)

@@ -152,3 +152,31 @@ def test_pairwise_cluster_metrics_perfect_and_empty(spark):
     row2 = pairwise_cluster_metrics(singletons, t2).first()
     # no pairs anywhere -> all-zero counts, metrics defined as 0
     assert row2["tp_pairs"] == 0 and row2["f1"] == 0.0
+
+
+def test_pairwise_cluster_metrics_labeled_only(spark):
+    """With partially-overlapping id sets the two denominator contracts
+    differ: full mode counts never-labelable pairs in pred/act (deflating
+    P/R), labeled_only restricts both frames to the shared id set first —
+    the reference's labeled-index convention."""
+    from soweego_spark.operators.evaluate import pairwise_cluster_metrics
+
+    # cluster 1 = {a1, a2, u1, u2} but u1/u2 are unlabeled; truth also has
+    # t-only ids z1/z2 sharing an entity that was never assigned.
+    assign = spark.createDataFrame(
+        [("a1", 1), ("a2", 1), ("u1", 1), ("u2", 1)],
+        "url string, cluster_id long",
+    )
+    truth = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("z1", "Z"), ("z2", "Z")],
+        "url string, entity_id string",
+    )
+    full = pairwise_cluster_metrics(assign, truth).first()
+    # full: pred = C(4,2)=6 (u-pairs can never be TP), act = 1+1 = 2
+    assert (full["tp_pairs"], full["predicted_pairs"], full["actual_pairs"]) \
+        == (1, 6, 2)
+    lab = pairwise_cluster_metrics(assign, truth, labeled_only=True).first()
+    # labeled-only: both frames reduce to {a1, a2} -> perfect
+    assert (lab["tp_pairs"], lab["predicted_pairs"], lab["actual_pairs"]) \
+        == (1, 1, 1)
+    assert (lab["precision"], lab["recall"], lab["f1"]) == (1.0, 1.0, 1.0)

@@ -103,6 +103,11 @@ def test_subset_pairs_target_side_hot_token_capped(spark):
     )
     assert uncapped.count() == 201  # proves the planted fan-out was real
 
+    # the target-side cap is OPT-IN: the default (target_df_cap=None)
+    # applies no target cap at all, preserving pre-round-3 caller recall
+    default = blk.subset_token_pairs(wd, tgt, token_df_cap=1000)
+    assert default.count() == 201
+
 
 def test_subset_pairs_wd_side_cap_still_applies(spark):
     """The original wd-side cap is unchanged by the symmetric guard."""
