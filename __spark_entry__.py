@@ -1942,6 +1942,15 @@ def _labeled_feature_subset(feats: DataFrame) -> DataFrame:
     )
 
 
+# Hard bound on the logistic training fixture's driver transfer: the 1/3
+# labeled subset grows linearly with the lake (166k rows at sf0.1 -> a
+# multi-GB toPandas at 100x), so the fixture keeps only a deterministic
+# hash-ordered sample of this many rows — a global TakeOrdered by the
+# cross-engine 60-bit md5 of the pair key (unbiased w.r.t. the data, stable
+# across partitionings, replayable in DuckDB). The cap BINDS at sf0.1.
+_LOGISTIC_TRAIN_CAP = 50_000
+
+
 def q_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 train + score + P4 threshold under the hash gate: IRLS logistic
     regression (classify.py:68, liblinear C=1.0 analogue) trained
@@ -1951,6 +1960,7 @@ def q_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps margin >= 0 (== sigmoid >= 0.5): identical decision boundary,
     bit-exact across engines (no libm exp in the output)."""
     from soweego_spark.operators.classify import train_logistic
+    from soweego_spark.operators.dedup import md5_60
     from soweego_spark.operators.pairfeatures import FEATURE_COLUMNS
 
     # cache: the feature frame feeds BOTH the training collect and the
@@ -1959,13 +1969,23 @@ def q_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 21 s at sf0.1); session-scoped, the gate/bench sessions are
     # one-shot
     feats = _pair_feature_frame(spark, sf_dir).cache()
-    labeled = _labeled_feature_subset(feats).select(
-        "url_a", "url_b", *FEATURE_COLUMNS, "label"
+    labeled = (
+        _labeled_feature_subset(feats)
+        .select("url_a", "url_b", *FEATURE_COLUMNS, "label")
+        # bound the driver transfer: global top-N by the pair-key hash
+        # (orderBy+limit plans as TakeOrderedAndProject — each task ships
+        # at most N rows, the driver merges). Tiebreak on the unique pair
+        # key so the sample is a total function of the data.
+        .withColumn("_h", md5_60(F.concat_ws("|", "url_a", "url_b")))
+        .orderBy("_h", "url_a", "url_b")
+        .limit(_LOGISTIC_TRAIN_CAP)
+        .drop("_h")
     )
     # Arrow toPandas, not collect(): row pickling was most of this
-    # query's wall at sf0.1 (166k labeled rows). Sort exactly like the
-    # oracle's replay — python/pandas lexicographic on the ASCII pair
-    # key — so the training matrix is row-identical in both engines.
+    # query's wall at sf0.1 (166k labeled rows before the cap). Sort
+    # exactly like the oracle's replay — python/pandas lexicographic on
+    # the ASCII pair key — so the training matrix is row-identical in
+    # both engines.
     pdf = labeled.toPandas().sort_values(["url_a", "url_b"], kind="mergesort")
     X = pdf[FEATURE_COLUMNS].to_numpy(dtype=np.float64)
     y = pdf["label"].to_numpy(dtype=np.float64)
@@ -2109,6 +2129,9 @@ def _q_logistic_score_sql() -> str:
             FROM f
             WHERE (CAST(substr(url_a, 2) AS BIGINT) * 31
                    + CAST(substr(url_b, 2) AS BIGINT)) % 3 = 0
+            ORDER BY {_MD5_H.format(x="(url_a || '|' || url_b)")},
+                     url_a, url_b
+            LIMIT {_LOGISTIC_TRAIN_CAP}
             """
         )
         cols = [dsc[0] for dsc in res.description]
