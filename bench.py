@@ -6,15 +6,31 @@ Runs (a) the flagship end-to-end ER pipeline (extract -> block -> featurize
 deterministic synthetic pages table, and (b) the scale-meaningful operator
 queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR.
 
+Measurement protocol (round 4 — the house rule from CLAUDE.md): every
+query and the flagship pipeline run TWICE in the same JVM and the
+REPORTED per-query value is the second (warm) run. First-execution wall
+on this shared box swings 3-30x on unchanged code (JIT/codegen warmup,
+page cache, host noise) — round 3 burned a session adjudicating a 24%
+phantom "regression" that was pure cold-run noise. Warm values are
+reproducible within ~1.5x run-to-run; the cold pass is still recorded
+(``queries_cold`` / ``cold_wall_seconds``) so cross-round comparisons
+against the pre-round-4 cold-only numbers stay possible.
+
 Excluded from the timed set (not silently — by design):
   * token_blocking_topk / token_jaccard_neardup — deliberately quadratic
     demonstrations of the naive token self-join; at sf0.1 the 31-word
     vocabulary makes them ~450M intermediate pairs. Their scale path IS
     minhash_lsh_neardup / simhash_neardup, which are timed here.
 
+Also reported: ``ann_recall_at_10`` — measured recall of the default IVF
+config against exact brute force (the ANN quality gate; a fast index with
+silently-wrong neighbors is not done). Quality numbers sit next to wall
+numbers on purpose.
+
 Plans are executed with a noop-format write so the full plan runs without
 driver-side collection. Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_ER_ENTITIES (default 2000).
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_ER_ENTITIES (default 2000),
+SPARK_GRAFT_BENCH_RUNS (default 2; 1 = legacy cold-only mode).
 """
 
 from __future__ import annotations
@@ -29,6 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "2000"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 BENCH_QUERIES = [
     "minhash_lsh_neardup",
@@ -96,12 +113,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    times: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     qs = entry_mod.queries()
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _run_noop(qs[name](spark, SF_DIR))
-        times[name] = time.time() - t0
+        for run in range(N_RUNS):
+            t0 = time.time()
+            _run_noop(qs[name](spark, SF_DIR))
+            dt = time.time() - t0
+            if run == 0:
+                cold[name] = dt
+            warm[name] = dt  # last run wins; == cold when N_RUNS == 1
 
     # Flagship: full record-linkage pipeline over the synthetic pages table.
     fx = generate_pages(n_entities=ER_ENTITIES, seed=42)
@@ -110,32 +132,55 @@ def main() -> None:
         r.code: list(r.related)
         for r in fx.occupation_closure.itertuples(index=False)
     }
-    t0 = time.time()
-    res = run_pipeline(
-        spark, pages, labeled, PipelineConfig(occupation_closure=closure)
-    )
-    n_pairs = res.features.count()
-    _run_noop(res.clusters)
-    er_secs = time.time() - t0
-    times["er_pipeline"] = er_secs
+    n_pairs, er_f1 = 0, 0.0
+    for run in range(N_RUNS):
+        t0 = time.time()
+        res = run_pipeline(
+            spark, pages, labeled, PipelineConfig(occupation_closure=closure)
+        )
+        n_pairs = res.features.count()
+        _run_noop(res.clusters)
+        dt = time.time() - t0
+        er_f1 = res.metrics["f1"]
+        if run == 0:
+            cold["er_pipeline"] = dt
+        warm["er_pipeline"] = dt
+    er_secs = warm["er_pipeline"]
 
-    total = sum(times.values())
+    # ANN quality gate: recall@10 of the default IVF config vs brute force
+    # on the same embeddings table (worst-case uniform-random vectors).
+    from pyspark.sql import functions as F
+
+    from soweego_spark.operators.ann import ivf_recall_at_k
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ann_recall = ivf_recall_at_k(emb, emb.filter(F.col("vec_id") < 50), k=10)
+
+    total = sum(warm.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "suite_wall_seconds",
                 "value": round(total, 2),
+                "protocol": f"warm (run {N_RUNS} of {N_RUNS} per query, one JVM)",
+                "cold_wall_seconds": round(sum(cold.values()), 2),
                 "shared_r2_wall_seconds": round(
-                    sum(v for k, v in times.items()
+                    sum(v for k, v in warm.items()
+                        if k not in ROUND3_QUERIES), 2
+                ),
+                "shared_r2_wall_cold_seconds": round(
+                    sum(v for k, v in cold.items()
                         if k not in ROUND3_QUERIES), 2
                 ),
                 "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in times.items()},
+                "queries": {k: round(v, 3) for k, v in warm.items()},
+                "queries_cold": {k: round(v, 3) for k, v in cold.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "er_pairs_scored": n_pairs,
                 "er_pairs_scored_per_sec": round(n_pairs / er_secs, 1),
-                "er_f1": round(res.metrics["f1"], 4),
+                "er_f1": round(er_f1, 4),
+                "ann_recall_at_10": round(ann_recall, 4),
                 "cpus": CPUS,
             }
         )

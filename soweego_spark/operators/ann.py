@@ -372,7 +372,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int,
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 12,
     seed: int = 61,
     kmeans_iters: int = 10,
     id_col: str = "vec_id",
@@ -383,6 +383,15 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means cells as the
     blocking key, exact cosine inside the ``n_probe`` nearest cells.
+
+    The default ``n_probe=12`` of 16 cells is the QUALITY-FIRST setting:
+    it holds recall@10 >= 0.9 even on uniform-random vectors (the
+    no-cluster-structure worst case, measured 0.93 on the synthetic
+    embeddings table at sf0.1 and gated in
+    tests/test_ann.py::test_ivf_default_config_recall_at_10). Real
+    embedding corpora have cluster structure, so production configs
+    typically reach the same recall with far fewer probes — tune n_probe
+    down against a measured recall curve, not by assumption.
 
     ``n_probe == n_centroids`` degrades to exact brute force (tested
     invariant). At 10^12 vectors the cell assignment is the partition key:
@@ -501,3 +510,34 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+def ivf_recall_at_k(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    **ivf_kwargs,
+) -> float:
+    """Measured recall@k of :func:`ivf_topk` against the exact
+    :func:`brute_force_topk` baseline on the same queries: mean over
+    queries of |approx top-k ∩ exact top-k| / |exact top-k|.
+
+    This is the ANN QUALITY gate (the reference's doctrine is
+    quality-first evaluation, docs/evaluations.rst:5-14): a fast index
+    that silently returns the wrong neighbors is not done. Used by both
+    tests/test_ann.py (recall@10 >= 0.9 contract for the default config)
+    and bench.py (recall reported next to the wall time). Driver memory
+    is bounded by |queries| * k rows — run it on a query SAMPLE, never
+    the full lake.
+    """
+    exact: dict[int, set[int]] = {}
+    for r in brute_force_topk(emb, queries, k=k).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx: dict[int, set[int]] = {}
+    for r in ivf_topk(emb, queries, k=k, **ivf_kwargs).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    if not exact:
+        return 1.0
+    return sum(
+        len(approx.get(q, set()) & nb) / len(nb) for q, nb in exact.items()
+    ) / len(exact)

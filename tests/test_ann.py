@@ -223,3 +223,18 @@ def test_distributed_kmeans_and_ivf(emb):
         ).collect()
     }
     assert ivf == brute
+
+
+def test_ivf_default_config_recall_at_10(spark):
+    """ANN quality gate (round-4 contract): recall@10 of the DEFAULT IVF
+    config (n_centroids=16, n_probe=12) vs exact brute force must be
+    >= 0.9 at sf0.1 — on uniform-random synthetic embeddings, the
+    no-cluster-structure WORST case for an inverted-file index (recall
+    tracks the probed cell fraction: measured 0.53 at n_probe=4, 0.93 at
+    n_probe=12, 1.0 at 16). Real corpora cluster, so this bounds
+    production recall from below."""
+    from soweego_spark.operators.ann import ivf_recall_at_k
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    recall = ivf_recall_at_k(emb, emb.filter("vec_id < 50"), k=10)
+    assert recall >= 0.9, recall
