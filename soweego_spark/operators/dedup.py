@@ -570,7 +570,7 @@ def incremental_minhash_neardup(
     max_bucket_size: int = 10_000,
     hash_family: str = "xxhash64",
     corpus_banded: DataFrame | None = None,
-    within_batch: bool = True,
+    within_batch: bool | str = True,
 ) -> DataFrame:
     """Continuous-ingestion NEAR-dedup: drop new documents whose exact
     token Jaccard against ANY corpus document reaches the threshold,
@@ -578,13 +578,27 @@ def incremental_minhash_neardup(
     corpus bands — an equi-join, no self-join against the corpus, no
     corpus rescan).
 
-    ``within_batch=True`` (default) additionally dedups the batch
-    against ITSELF — without it, two near-dups arriving in the same
-    batch would both survive and permanently contaminate the corpus.
-    The in-batch rule is deterministic min-id-survivor: a new doc is
-    dropped when a confirmed dup with a SMALLER doc_id exists in the
-    batch (conservative on transitive chains: B~A and C~B drops both B
-    and C even if C≁A — over-dropping is the safe direction for dedup).
+    ``within_batch`` additionally dedups the batch against ITSELF —
+    without it (``False``), two near-dups arriving in the same batch
+    would both survive and permanently contaminate the corpus. Two
+    in-batch semantics are offered:
+
+    * ``True`` / ``"conservative"`` (default): a new doc is dropped when
+      a confirmed dup with a SMALLER doc_id exists in the batch —
+      regardless of whether that smaller doc itself survives. Over-drops
+      on transitive chains (B~A and C~B drops both B and C even if
+      C≁A), which is the safe direction for dedup and needs no extra
+      pass over the pair graph.
+    * ``"exact"``: sequential-greedy threshold semantics — docs are
+      conceptually processed in ascending id order and a doc is dropped
+      only when a confirmed dup among the docs KEPT so far exists
+      (corpus-dropped docs are removed first; on the chain above, C is
+      kept because its only dup B was itself dropped). Implemented
+      distributed: connected components over the confirmed in-batch pair
+      graph, then a per-component greedy pass in ``applyInPandas`` —
+      per-component work is bounded by component size (band caps bound
+      bucket fan-out, but adversarial chains can still elongate
+      components; prefer conservative when that risk matters).
 
     Returns the kept rows of ``new_toks``. Pass ``corpus_banded`` (the
     persisted output of ``band_keys(minhash_signatures(corpus))``) to
@@ -596,6 +610,12 @@ def incremental_minhash_neardup(
     Same precision doctrine as minhash_lsh_candidates: banding only
     nominates, the exact-Jaccard confirm decides — no false drops.
     """
+    mode = {True: "conservative", False: None}.get(within_batch, within_batch)
+    if mode not in (None, "conservative", "exact"):
+        raise ValueError(
+            "within_batch must be True/'conservative', 'exact', or False; "
+            f"got {within_batch!r}"
+        )
     if corpus_banded is None:
         corpus_banded = band_keys(
             minhash_signatures(
@@ -631,8 +651,8 @@ def incremental_minhash_neardup(
         .select("doc_id", "other_id")
         .distinct()
     )
-    other_toks = corpus_toks
-    if within_batch:
+    batch_cand = None
+    if mode is not None:
         new_hot = (
             new_banded.groupBy("band_id", "band_hash")
             .agg(F.count("*").alias("bucket_n"))
@@ -654,19 +674,82 @@ def incremental_minhash_neardup(
             .select("doc_id", "other_id")
             .distinct()
         )
-        cand = cand.unionByName(batch_cand).distinct()
-        other_toks = corpus_toks.unionByName(new_toks)
     ta = new_toks.select("doc_id", F.col("tokens").alias("ta"))
-    tb = other_toks.select(
-        F.col("doc_id").alias("other_id"), F.col("tokens").alias("tb")
-    )
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = F.size(F.array_union("ta", "tb")).cast("double")
-    dup_ids = (
-        cand.join(ta, "doc_id")
-        .join(tb, "other_id")
-        .filter(F.round(inter / union, 6) >= jaccard_threshold)
-        .select("doc_id")
-        .distinct()
+    confirmed = F.round(inter / union, 6) >= jaccard_threshold
+
+    def confirm(pairs: DataFrame, others: DataFrame) -> DataFrame:
+        tb = others.select(
+            F.col("doc_id").alias("other_id"), F.col("tokens").alias("tb")
+        )
+        return (
+            pairs.join(ta, "doc_id").join(tb, "other_id").filter(confirmed)
+        )
+
+    if mode in (None, "conservative"):
+        other_toks = corpus_toks
+        if mode == "conservative":
+            cand = cand.unionByName(batch_cand).distinct()
+            other_toks = corpus_toks.unionByName(new_toks)
+        dup_ids = confirm(cand, other_toks).select("doc_id").distinct()
+        return new_toks.join(dup_ids, "doc_id", "left_anti")
+
+    # mode == "exact": sequential-greedy semantics. Corpus dups drop
+    # unconditionally (their near-dup is, by construction, already KEPT in
+    # the corpus); the in-batch graph is then resolved per connected
+    # component with the ascending-id greedy pass.
+    corpus_dropped = confirm(cand, corpus_toks).select("doc_id").distinct()
+    edges = confirm(batch_cand, new_toks).select("doc_id", "other_id")
+    edges = edges.join(corpus_dropped, "doc_id", "left_anti").join(
+        corpus_dropped.select(F.col("doc_id").alias("other_id")),
+        "other_id",
+        "left_anti",
     )
+    dup_ids = corpus_dropped.unionByName(
+        _greedy_component_drops(edges)
+    ).distinct()
     return new_toks.join(dup_ids, "doc_id", "left_anti")
+
+
+def _greedy_component_drops(edges: DataFrame) -> DataFrame:
+    """Confirmed in-batch dup edges (doc_id, other_id) -> the ids dropped
+    by SEQUENTIAL-GREEDY dedup in ascending id order: a doc is dropped iff
+    a neighbor with smaller id was itself kept. Distributed as connected
+    components over the edge graph + one ``applyInPandas`` greedy pass per
+    component (the greedy decision chain never crosses a component
+    boundary). Per-task memory is bounded by the largest component's edge
+    count; isolated docs never enter the graph and are trivially kept."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    from soweego_spark.operators.cluster import connected_components
+
+    id_type = edges.schema["doc_id"].dataType
+    comp = connected_components(edges, src="doc_id", dst="other_id")
+    ec = edges.join(
+        comp.select(F.col("url").alias("doc_id"), "cluster_id"), "doc_id"
+    ).select(
+        "cluster_id",
+        F.col("doc_id").alias("a"),
+        F.col("other_id").alias("b"),
+    )
+
+    def per_comp(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict = {}
+        for a, b in zip(pdf["a"], pdf["b"]):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        kept: set = set()
+        dropped = []
+        for node in sorted(adj):
+            if adj[node] & kept:
+                dropped.append(node)
+            else:
+                kept.add(node)
+        return pd.DataFrame({"doc_id": dropped})
+
+    return ec.groupBy("cluster_id").applyInPandas(
+        per_comp, schema=StructType([StructField("doc_id", id_type)])
+    )

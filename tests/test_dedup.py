@@ -427,3 +427,49 @@ def test_incremental_minhash_reuses_persisted_bands(spark):
         new, corpus, corpus_banded=banded
     )
     assert kept.count() == 0
+
+
+def test_incremental_minhash_within_batch_exact_vs_conservative(spark):
+    """Transitive-chain semantics (round-4 contract): with B~A, C~B but
+    C≁A (Jaccard 0.818/0.818/0.667 at threshold 0.7), conservative mode
+    drops both B and C (any smaller-id confirmed dup drops you), while
+    exact (sequential-greedy) mode keeps C because its only dup B was
+    itself dropped."""
+    from soweego_spark.operators.dedup import incremental_minhash_neardup
+
+    base = [f"tok{i}" for i in range(10)]  # A = {tok0..tok9}
+    a = base
+    b = base[1:] + ["bb"]            # J(A,B) = 9/11 ≈ 0.818
+    c = base[2:] + ["bb", "cc"]      # J(B,C) = 9/11; J(A,C) = 8/12 < 0.7
+    new = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, tokens array<string>"
+    )
+    corpus = spark.createDataFrame([], "doc_id long, tokens array<string>")
+
+    cons = incremental_minhash_neardup(
+        new, corpus, jaccard_threshold=0.7, within_batch="conservative"
+    )
+    assert sorted(r["doc_id"] for r in cons.collect()) == [1]
+
+    exact = incremental_minhash_neardup(
+        new, corpus, jaccard_threshold=0.7, within_batch="exact"
+    )
+    assert sorted(r["doc_id"] for r in exact.collect()) == [1, 3]
+
+    # exact mode drops corpus dups unconditionally; with B's content
+    # already in the corpus, every batch doc here is within threshold of
+    # that corpus copy (J=0.818 for all three), so all are dropped.
+    corpus2 = spark.createDataFrame(
+        [(100, b)], "doc_id long, tokens array<string>"
+    )
+    exact2 = incremental_minhash_neardup(
+        new, corpus2, jaccard_threshold=0.7, within_batch="exact"
+    )
+    # B(2) ~ corpus doc -> dropped; A(1) J=0.818 vs corpus? J(A,corpus=B)
+    # = 0.818 -> also dropped; C ~ corpus(B) 0.818 -> dropped. All gone.
+    assert sorted(r["doc_id"] for r in exact2.collect()) == []
+
+    with pytest.raises(ValueError, match="within_batch"):
+        incremental_minhash_neardup(
+            new, corpus, within_batch="bogus"
+        ).collect()
