@@ -73,6 +73,19 @@ def run_pipeline(
     cfg = config or PipelineConfig()
     base_cfg = cfg.as_dict()
 
+    # Default the signatures stage to BUCKETED persistence (by url): the
+    # signatures table is the repeatedly re-joined side of pair assembly
+    # (both assemble_pairs sides join on url), so a resumed run should
+    # start those joins Exchange-free instead of re-shuffling the table —
+    # at 10^12 rows that re-shuffle is the dominant avoidable resume cost.
+    # Callers opt out by passing an explicit falsy spec
+    # (bucket_specs={"signatures": None}); setdefault never overrides.
+    if checkpointer is not None:
+        checkpointer.bucket_specs.setdefault(
+            "signatures",
+            {"bucket_cols": ["url"], "sort_cols": ["url"], "n_buckets": 32},
+        )
+
     def stage(name: str, thunk, extra: dict | None = None) -> DataFrame:
         if checkpointer is None:
             return thunk()

@@ -46,6 +46,63 @@ def test_stage_memoization_and_invalidation(spark, root):
     assert mf["config_hash"] == config_hash({"alpha": 2})
 
 
+def test_bucketed_signatures_default_and_exchange_free_resume(spark, root):
+    """Round-4 contract: run_pipeline defaults the signatures stage to
+    BUCKETED persistence (by url), and a resumed run's pair-assembly joins
+    start Exchange-free on the signatures side — the checkpointed table's
+    bucketing replaces the shuffle that a plain-parquet resume would pay
+    on both assemble_pairs joins."""
+    from pathlib import Path
+
+    from soweego_spark.operators import pairfeatures as pf
+
+    fx = generate_pages(80, seed=7)
+    pages = spark.createDataFrame(fx.pages)
+    labeled = spark.createDataFrame(fx.labeled_pairs)
+    ck = StageCheckpointer(root, spark)
+    res = pl.run_pipeline(
+        spark, pages, labeled, pl.PipelineConfig(use_lsh=False),
+        checkpointer=ck,
+    )
+    mf = ck.manifest("signatures")
+    assert mf and mf["bucket_spec"]["bucket_cols"] == ["url"]
+
+    sig = ck.load("signatures", mf["config_hash"])  # the resume path
+    plain = spark.read.parquet(str(Path(root) / "signatures" / "data"))
+    pairs = res.pairs.select("url_a", "url_b")
+
+    # disable broadcast so the join strategy is the one a 10^12-row
+    # signatures table would get (sort-merge), making the Exchange
+    # elision visible in the plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def n_shuffles(s):
+            return (
+                s._jdf.queryExecution().executedPlan().toString()
+                .count("Exchange hashpartitioning")
+            )
+
+        with_buckets = n_shuffles(pf.assemble_pairs(pairs, sig))
+        without = n_shuffles(pf.assemble_pairs(pairs, plain))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # both signature-side shuffles disappear; the pairs-side ones remain
+    assert with_buckets >= 1  # sanity: counting is not degenerate
+    assert with_buckets == without - 2, (with_buckets, without)
+
+    # opt-out: an explicit falsy spec suppresses the default
+    ck2 = StageCheckpointer(
+        tempfile.mkdtemp(prefix="soweego-ckpt-"), spark,
+        bucket_specs={"signatures": None},
+    )
+    pl.run_pipeline(
+        spark, pages, labeled, pl.PipelineConfig(use_lsh=False),
+        checkpointer=ck2,
+    )
+    assert "bucket_spec" not in ck2.manifest("signatures")
+
+
 def test_bucketed_stage_name_must_be_identifier(spark, root):
     """Stage names reach CREATE/DROP TABLE statements for bucketed stages:
     a non-identifier name must fail fast with ValueError, not produce a
