@@ -241,3 +241,84 @@ def test_sessionize_batch_gap_semantics(spark):
     assert got[(7, 2)] == (2, 370, at(41), at(41))
     assert got[(8, 1)] == (1, 999, at(0), at(0))
     assert len(got) == 3
+
+
+def test_streaming_neardup_state_bounded_at_bench_scale(spark, tmpdir):
+    """Round-4 contract: the minhash suppression stream at bench volume
+    (the full sf0.1 documents table, 5000 docs over a ~5000 s event-time
+    span, 10 micro-batches) keeps its dedup state WATERMARK-BOUNDED: by
+    the final batch the state store holds only the keys still inside the
+    10-minute horizon, a small fraction of all keys seen. Also pins the
+    two-sided semantics of the trade: a duplicate arriving within the
+    watermark is suppressed; one arriving after its original's state was
+    evicted passes through (the batch LSH sweep catches it downstream)."""
+    import time
+
+    from soweego_spark.streaming.events import streaming_neardup_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n = docs.count()
+    assert n == 5000
+    base_ts = 1704067200  # 2024-01-01 00:00:00 UTC
+    src = docs.select(
+        "doc_id", "text",
+        F.timestamp_seconds(F.lit(base_ts) + F.col("doc_id")).alias("ts"),
+    )
+
+    texts = {r["doc_id"]: r["text"] for r in
+             docs.filter(F.col("doc_id") % 500 == 250).collect()}
+    first_text = docs.filter(F.col("doc_id") == 0).first()["text"]
+
+    slice_s = 500
+    for k in range(10):
+        part = src.filter(
+            (F.col("doc_id") >= k * slice_s)
+            & (F.col("doc_id") < (k + 1) * slice_s)
+        )
+        if k >= 1:
+            # duplicate of a doc from the PREVIOUS slice (250-750 s old,
+            # inside the 600 s watermark) -> must be suppressed
+            dup = spark.createDataFrame(
+                [(100000 + k, texts[(k - 1) * 500 + 250])],
+                "doc_id long, text string",
+            ).select(
+                "doc_id", "text",
+                F.timestamp_seconds(
+                    F.lit(base_ts) + F.lit(k * slice_s)
+                ).alias("ts"),
+            )
+            part = part.unionByName(dup)
+        if k == 9:
+            # duplicate of doc 0, ~4500 s after the original: its state
+            # was evicted long ago -> passes through
+            late = spark.createDataFrame(
+                [(200000, first_text)], "doc_id long, text string"
+            ).select(
+                "doc_id", "text",
+                F.timestamp_seconds(F.lit(base_ts + 4999)).alias("ts"),
+            )
+            part = part.unionByName(late)
+        part.repartition(1).write.mode("append").parquet(f"{tmpdir}/src")
+        time.sleep(0.1)  # monotonic file mod times -> in-order triggers
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/src")
+    )
+    name = f"neardup_scale_{uuid.uuid4().hex[:8]}"
+    q = _start(streaming_neardup_filter(stream, watermark="10 minutes"), name)
+    try:
+        q.processAllAvailable()
+        kept = {r["doc_id"] for r in spark.sql(
+            f"SELECT doc_id FROM {name}").collect()}
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+
+    assert 200000 in kept  # post-eviction dup passes (two-tier design)
+    assert not any(100000 + k in kept for k in range(1, 10))  # suppressed
+    # every key seen would be ~5010 rows of state without eviction; the
+    # watermark keeps only the ~last-1100-seconds of keys
+    assert 0 < state_rows <= 2000, state_rows
+    print(f"neardup stream state rows at final batch: {state_rows}")
