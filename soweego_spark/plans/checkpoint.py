@@ -49,10 +49,16 @@ class StageCheckpointer:
         root: str | Path,
         spark: SparkSession,
         bucket_specs: dict[str, dict] | None = None,
+        table_format: str = "parquet",
     ):
+        if table_format not in ("parquet", "iceberg"):
+            raise ValueError(
+                f"table_format must be 'parquet' or 'iceberg', got {table_format!r}"
+            )
         self.root = Path(root)
         self.spark = spark
         self.bucket_specs = bucket_specs or {}
+        self.table_format = table_format
         self.root.mkdir(parents=True, exist_ok=True)
 
     def _paths(self, stage: str) -> tuple[Path, Path]:
@@ -73,6 +79,63 @@ class StageCheckpointer:
         ).hexdigest()[:10]
         return f"soweego_ckpt_{tag}_{stage}"
 
+    def _register_ddl(
+        self, stage: str, manifest: dict, data_dir: Path
+    ) -> list[str]:
+        """The statements that (re-)register a bucketed stage as an
+        external table, in the configured ``table_format``.
+
+        ``"parquet"`` (default, sandbox-tested): Spark-native bucketed
+        parquet (``CLUSTERED BY ... INTO n BUCKETS``) — joins on the
+        bucket columns start Exchange-free out of the box.
+
+        ``"iceberg"`` (the lake seam): ``USING iceberg`` with the
+        ``bucket(n, col)`` partition transform plus a ``WRITE ORDERED
+        BY`` for the sort spec; the JSON manifest collapses into Iceberg's
+        own snapshot metadata. Requires the Iceberg runtime jars and a
+        configured catalog (absent in this sandbox, so only the DDL is
+        unit-tested here). Note the honest caveat: Exchange-free joins on
+        Iceberg bucket partitions additionally need Spark's
+        storage-partitioned joins
+        (``spark.sql.sources.v2.bucketing.enabled=true``); Spark-native
+        bucketing gets them unconditionally.
+        """
+        tbl = self._table_name(stage)
+        spec = manifest["bucket_spec"]
+        # escape quotes in the LOCATION string literal — a root path
+        # containing a single quote must not break the statement
+        loc = str(data_dir).replace("'", "''")
+        if self.table_format == "iceberg":
+            transforms = ", ".join(
+                f"bucket({spec['n_buckets']}, {c})"
+                for c in spec["bucket_cols"]
+            )
+            stmts = [
+                f"CREATE TABLE IF NOT EXISTS {tbl} "
+                f"({manifest['schema_ddl']}) "
+                f"USING iceberg "
+                f"PARTITIONED BY ({transforms}) "
+                f"LOCATION '{loc}'"
+            ]
+            if spec.get("sort_cols"):
+                stmts.append(
+                    f"ALTER TABLE {tbl} WRITE ORDERED BY "
+                    f"({', '.join(spec['sort_cols'])})"
+                )
+            return stmts
+        sort = (
+            f"SORTED BY ({', '.join(spec['sort_cols'])}) "
+            if spec.get("sort_cols")
+            else ""
+        )
+        return [
+            f"CREATE TABLE {tbl} ({manifest['schema_ddl']}) "
+            f"USING PARQUET "
+            f"CLUSTERED BY ({', '.join(spec['bucket_cols'])}) "
+            f"{sort}INTO {spec['n_buckets']} BUCKETS "
+            f"LOCATION '{loc}'"
+        ]
+
     def _register_bucketed(
         self, stage: str, manifest: dict, data_dir: Path
     ) -> DataFrame:
@@ -81,23 +144,9 @@ class StageCheckpointer:
         in-memory catalog does not persist, while the bucketed FILE layout
         on disk does."""
         tbl = self._table_name(stage)
-        spec = manifest["bucket_spec"]
         if not self.spark.catalog.tableExists(tbl):
-            sort = (
-                f"SORTED BY ({', '.join(spec['sort_cols'])}) "
-                if spec.get("sort_cols")
-                else ""
-            )
-            # escape quotes in the LOCATION string literal — a root path
-            # containing a single quote must not break the statement
-            loc = str(data_dir).replace("'", "''")
-            self.spark.sql(
-                f"CREATE TABLE {tbl} ({manifest['schema_ddl']}) "
-                f"USING PARQUET "
-                f"CLUSTERED BY ({', '.join(spec['bucket_cols'])}) "
-                f"{sort}INTO {spec['n_buckets']} BUCKETS "
-                f"LOCATION '{loc}'"
-            )
+            for stmt in self._register_ddl(stage, manifest, data_dir):
+                self.spark.sql(stmt)
         return self.spark.table(tbl)
 
     def load(self, stage: str, cfg_hash: str) -> DataFrame | None:

@@ -103,6 +103,35 @@ def test_bucketed_signatures_default_and_exchange_free_resume(spark, root):
     assert "bucket_spec" not in ck2.manifest("signatures")
 
 
+def test_iceberg_registration_ddl_seam(spark, root):
+    """The lake seam (DDL only — no Iceberg jars in the sandbox): with
+    table_format='iceberg' the bucketed-stage registration emits USING
+    iceberg with the bucket(n, col) partition transform and a WRITE
+    ORDERED BY for the sort spec, instead of Spark-native CLUSTERED BY."""
+    ck = StageCheckpointer(root, spark, table_format="iceberg")
+    manifest = {
+        "bucket_spec": {
+            "bucket_cols": ["url"], "sort_cols": ["url"], "n_buckets": 32,
+        },
+        "schema_ddl": "url STRING, name ARRAY<STRING>",
+    }
+    stmts = ck._register_ddl("signatures", manifest, root + "/sig/data")
+    assert len(stmts) == 2
+    assert "USING iceberg" in stmts[0]
+    assert "PARTITIONED BY (bucket(32, url))" in stmts[0]
+    assert "url STRING, name ARRAY<STRING>" in stmts[0]
+    assert f"LOCATION '{root}/sig/data'" in stmts[0]
+    assert stmts[1].endswith("WRITE ORDERED BY (url)")
+
+    # default remains the sandbox-tested Spark-native bucketed parquet
+    ck_pq = StageCheckpointer(root, spark)
+    (stmt,) = ck_pq._register_ddl("signatures", manifest, root + "/sig/data")
+    assert "USING PARQUET" in stmt and "CLUSTERED BY (url)" in stmt
+
+    with pytest.raises(ValueError, match="table_format"):
+        StageCheckpointer(root, spark, table_format="delta")
+
+
 def test_bucketed_stage_name_must_be_identifier(spark, root):
     """Stage names reach CREATE/DROP TABLE statements for bucketed stages:
     a non-identifier name must fail fast with ValueError, not produce a
