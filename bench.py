@@ -132,7 +132,7 @@ def main() -> None:
         r.code: list(r.related)
         for r in fx.occupation_closure.itertuples(index=False)
     }
-    n_pairs, er_f1 = 0, 0.0
+    n_pairs, n_docs, er_f1 = 0, 0, 0.0
     for run in range(N_RUNS):
         t0 = time.time()
         res = run_pipeline(
@@ -142,6 +142,7 @@ def main() -> None:
         _run_noop(res.clusters)
         dt = time.time() - t0
         er_f1 = res.metrics["f1"]
+        n_docs = res.signatures.count()
         if run == 0:
             cold["er_pipeline"] = dt
         warm["er_pipeline"] = dt
@@ -179,6 +180,12 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "er_pairs_scored": n_pairs,
                 "er_pairs_scored_per_sec": round(n_pairs / er_secs, 1),
+                # docs/sec is the scale-meaningful throughput: round 4's
+                # blocking selectivity change needs 3x fewer candidate
+                # pairs for the same linking quality, so pairs/sec DROPS
+                # while the lake drains faster (PERF.md section 16)
+                "er_docs": n_docs,
+                "er_docs_per_sec": round(n_docs / er_secs, 1),
                 "er_f1": round(er_f1, 4),
                 "ann_recall_at_10": round(ann_recall, 4),
                 "cpus": CPUS,

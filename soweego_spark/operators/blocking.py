@@ -233,6 +233,7 @@ def block_candidates(
     token_df_cap: int = 1000,
     use_lsh: bool = True,
     use_url_key: bool = True,
+    lsh_rows_per_band: int = 3,
 ) -> DataFrame:
     """Union of all blocking keys -> distinct candidate pairs
     (url_a, url_b) with url_a < url_b.
@@ -247,7 +248,9 @@ def block_candidates(
     if use_url_key:
         pairs = pairs.unionByName(url_blocking(sig, dedup=False))
     if use_lsh:
-        pairs = pairs.unionByName(lsh_blocking(sig, dedup=False))
+        pairs = pairs.unionByName(
+            lsh_blocking(sig, rows_per_band=lsh_rows_per_band, dedup=False)
+        )
     return pairs.distinct()
 
 
