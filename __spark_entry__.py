@@ -49,6 +49,7 @@ Operator coverage map (SURVEY.md §2 -> query):
   strm  gap sessionization (batch face)                -> sessionize
   eval  pairwise cluster P/R/F1 (sufficient stats)     -> cluster_metrics
   dedup incremental new-batch-vs-corpus near-dedup     -> incremental_neardup
+  dedup exact sequential-greedy within-batch dedup     -> incremental_neardup_exact
 
 The full record-linkage pipeline (blocking + features + classifier + CC
 clustering over the synthetic pages table) is exercised by the pytest suite
@@ -680,13 +681,25 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
-def _q_incremental_sql(num_perm: int = 64, bands: int = 16, n: int = 3,
-                       cap: int = 10_000, t: float = 0.8) -> str:
-    """DuckDB replica of q_incremental_neardup: signatures computed once
-    over all docs (they are doc-local), banded, split by parity; new
-    bands probe capped corpus buckets AND capped same-batch buckets
-    (earlier-id side); exact-Jaccard confirm; survivors = new docs with
-    no confirmed match."""
+def _incr_tok_ctes(n: int = 3) -> str:
+    """`toks` CTE text: word n-gram shingle sets from an upstream `words`
+    CTE of (doc_id, w: filtered lowercase word list)."""
+    return f"""toks AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   [array_to_string(w[i:i+{n - 1}], ' ')
+                    FOR i IN range(1, greatest(len(w) - {n}, 0) + 2)]
+               )) AS tokens
+        FROM words
+    )"""
+
+
+def _incr_sig_ctes(num_perm: int, bands: int, cap: int,
+                   corpus_pred: str, new_pred: str) -> str:
+    """tokh/sigs/banded + capped corpus/new band CTE text (expects `toks`
+    upstream); the corpus/new membership split is parameterized so the
+    conservative (parity) and exact (id-space) gate queries share one
+    signature pipeline."""
     from soweego_spark.operators.dedup import PERM_MASK_55, PERM_MASK_60
 
     rows = num_perm // bands
@@ -705,21 +718,7 @@ def _q_incremental_sql(num_perm: int = 64, bands: int = 16, n: int = 3,
     )
     tok_hash = _MD5_H.format(x="tok")
     tok_hash2 = _MD5_H.format(x="('s:' || tok)")
-    return f"""
-    WITH words AS (
-        SELECT doc_id,
-               list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
-        FROM documents
-    ),
-    toks AS (
-        SELECT doc_id,
-               list_sort(list_distinct(
-                   [array_to_string(w[i:i+{n - 1}], ' ')
-                    FOR i IN range(1, greatest(len(w) - {n}, 0) + 2)]
-               )) AS tokens
-        FROM words
-    ),
-    tokh AS (
+    return f"""tokh AS (
         SELECT doc_id, {tok_hash} AS h1,
                {tok_hash2} & {PERM_MASK_55} AS h2
         FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
@@ -732,8 +731,8 @@ def _q_incremental_sql(num_perm: int = 64, bands: int = 16, n: int = 3,
     banded AS (
         {band_selects}
     ),
-    corpus_banded AS (SELECT * FROM banded WHERE doc_id % 2 = 0),
-    new_banded AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
+    corpus_banded AS (SELECT * FROM banded WHERE {corpus_pred}),
+    new_banded AS (SELECT * FROM banded WHERE {new_pred}),
     kept_buckets AS (
         SELECT band_id, band_val FROM corpus_banded
         GROUP BY band_id, band_val HAVING count(*) <= {cap}
@@ -749,7 +748,31 @@ def _q_incremental_sql(num_perm: int = 64, bands: int = 16, n: int = 3,
     new_capped AS (
         SELECT n.doc_id, n.band_id, n.band_val
         FROM new_banded n JOIN new_kept_buckets USING (band_id, band_val)
+    )"""
+
+
+_INCR_JACCARD = (
+    "round(len(list_intersect(ta.tokens, tb.tokens))::DOUBLE"
+    "\n                    / len(list_distinct(list_concat(ta.tokens,"
+    " tb.tokens))),\n                    6)"
+)
+
+
+def _q_incremental_sql(num_perm: int = 64, bands: int = 16, n: int = 3,
+                       cap: int = 10_000, t: float = 0.8) -> str:
+    """DuckDB replica of q_incremental_neardup: signatures computed once
+    over all docs (they are doc-local), banded, split by parity; new
+    bands probe capped corpus buckets AND capped same-batch buckets
+    (earlier-id side); exact-Jaccard confirm; survivors = new docs with
+    no confirmed match."""
+    return f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+        FROM documents
     ),
+    {_incr_tok_ctes(n)},
+    {_incr_sig_ctes(num_perm, bands, cap, "doc_id % 2 = 0", "doc_id % 2 = 1")},
     cand AS (
         SELECT DISTINCT n.doc_id, c.doc_id AS other_id
         FROM new_banded n JOIN corpus_capped c
@@ -772,6 +795,181 @@ def _q_incremental_sql(num_perm: int = 64, bands: int = 16, n: int = 3,
     SELECT doc_id FROM toks
     WHERE doc_id % 2 = 1
       AND doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
+def q_incremental_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sequential-greedy within-batch semantics of
+    dedup.incremental_minhash_neardup (within_batch='exact') under the
+    hash gate. The batch is built to CONTAIN transitive chains: each odd
+    source doc contributes three variants — A (full word list), B (first
+    80% of words), C (first 64%) — so typically A~B and B~C at Jaccard
+    0.7 while A≁C; greedy keeps A and C (B, A's dup, is itself dropped),
+    whereas conservative mode would drop both B and C. Corpus = the even
+    docs. The DuckDB oracle replays the whole path: md5 signatures, band
+    probes, caps, corpus-drop filtering, then the greedy pass as a
+    RECURSIVE CTE iterating 'accept all remaining local-minima vertices,
+    drop their neighbors' — provably the ascending-id sequential greedy."""
+    from soweego_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != F.lit(""))
+    base = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", words.alias("w")
+    )
+    parts = []
+    for off, frac in ((0, None), (1, 0.8), (2, 0.64)):
+        if frac is None:
+            n_words = F.size("w")
+        else:
+            n_words = F.greatest(
+                F.floor(F.size("w") * F.lit(frac)).cast("int"), F.lit(3)
+            )
+        parts.append(
+            base.select(
+                (F.lit(1_000_000) + F.col("doc_id") * 10 + F.lit(off))
+                .alias("doc_id"),
+                F.array_join(F.slice("w", 1, n_words), " ").alias("text"),
+            )
+        )
+    new_docs = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    corpus_docs = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text"
+    )
+    kept = incremental_minhash_neardup(
+        shingles(new_docs, n=3),
+        shingles(corpus_docs, n=3),
+        jaccard_threshold=0.7,
+        hash_family="md5",
+        within_batch="exact",
+    )
+    return kept.select("doc_id")
+
+
+def _q_incremental_exact_sql(num_perm: int = 64, bands: int = 16,
+                             n: int = 3, cap: int = 10_000,
+                             t: float = 0.7) -> str:
+    """DuckDB replica of q_incremental_neardup_exact. The greedy MIS is a
+    recursive CTE over the confirmed in-batch edge graph (corpus-dropped
+    endpoints removed first): each round keeps every remaining vertex with
+    no smaller-id remaining neighbor (the local minima — exactly the
+    vertices sequential greedy would accept next), drops their neighbors,
+    and deletes edges touching any decided vertex; iterating to fixpoint
+    reproduces the ascending-id sequential greedy, matching the Spark
+    side's per-component applyInPandas pass."""
+    return f"""
+    WITH RECURSIVE words0 AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+        FROM documents
+    ),
+    words AS (
+        SELECT 1000000 + doc_id * 10 AS doc_id, w
+        FROM words0 WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT 1000000 + doc_id * 10 + 1,
+               w[1:greatest(floor(len(w) * 0.8::DOUBLE)::INT, 3)]
+        FROM words0 WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT 1000000 + doc_id * 10 + 2,
+               w[1:greatest(floor(len(w) * 0.64::DOUBLE)::INT, 3)]
+        FROM words0 WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id, w FROM words0 WHERE doc_id % 2 = 0
+    ),
+    {_incr_tok_ctes(n)},
+    {_incr_sig_ctes(num_perm, bands, cap,
+                    "doc_id < 1000000", "doc_id >= 1000000")},
+    cand_corpus AS (
+        SELECT DISTINCT nb.doc_id, c.doc_id AS other_id
+        FROM new_banded nb JOIN corpus_capped c
+          ON nb.band_id = c.band_id AND nb.band_val = c.band_val
+    ),
+    corpus_dropped AS (
+        SELECT DISTINCT cc.doc_id
+        FROM cand_corpus cc
+        JOIN toks ta ON ta.doc_id = cc.doc_id
+        JOIN toks tb ON tb.doc_id = cc.other_id
+        WHERE {_INCR_JACCARD} >= {t}
+    ),
+    batch_cand AS (
+        SELECT DISTINCT a.doc_id, b.doc_id AS other_id
+        FROM new_capped a JOIN new_capped b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id > b.doc_id
+    ),
+    batch_edges AS (
+        SELECT bc.doc_id, bc.other_id
+        FROM batch_cand bc
+        JOIN toks ta ON ta.doc_id = bc.doc_id
+        JOIN toks tb ON tb.doc_id = bc.other_id
+        WHERE {_INCR_JACCARD} >= {t}
+          AND bc.doc_id NOT IN (SELECT doc_id FROM corpus_dropped)
+          AND bc.other_id NOT IN (SELECT doc_id FROM corpus_dropped)
+    ),
+    adj AS (
+        SELECT doc_id AS a, other_id AS b FROM batch_edges
+        UNION ALL
+        SELECT other_id, doc_id FROM batch_edges
+        UNION ALL
+        SELECT v, NULL::BIGINT FROM (
+            SELECT DISTINCT doc_id AS v FROM batch_edges
+            UNION SELECT DISTINCT other_id FROM batch_edges
+        )
+    ),
+    -- greedy rounds: a vertex row set (b NULL = presence marker, else one
+    -- row per incident edge, both directions). Per round: v_kept = no
+    -- smaller remaining neighbor; v_drop = some incident edge's other
+    -- endpoint kept (the pair window sees both owners' flags; adjacent
+    -- vertices are never both kept in one round); edges touching any
+    -- decided vertex disappear; kept markers are emitted once with
+    -- kept=1 and not re-iterated.
+    g AS (
+        SELECT a, b, 0 AS kept FROM adj
+        UNION ALL
+        SELECT a, b, kept FROM (
+            SELECT a, b, v_kept AS kept, v_drop,
+                   CASE WHEN b IS NULL THEN 0
+                        ELSE max(v_kept + v_drop) OVER (
+                            PARTITION BY least(a, b), greatest(a, b))
+                   END AS pair_decided
+            FROM (
+                SELECT a, b, v_kept,
+                       max(CASE WHEN pair_kept = 1 AND v_kept = 0
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY a) AS v_drop
+                FROM (
+                    SELECT a, b, v_kept,
+                           CASE WHEN b IS NULL THEN 0
+                                ELSE max(v_kept) OVER (
+                                    PARTITION BY least(a, b), greatest(a, b))
+                           END AS pair_kept
+                    FROM (
+                        SELECT a, b,
+                               CASE WHEN max(CASE WHEN b IS NOT NULL
+                                                  AND b < a
+                                                  THEN 1 ELSE 0 END)
+                                         OVER (PARTITION BY a) = 0
+                                    THEN 1 ELSE 0 END AS v_kept
+                        FROM g WHERE kept = 0
+                    )
+                )
+            )
+        )
+        WHERE (kept = 1 AND b IS NULL)
+           OR (kept = 0 AND v_drop = 0 AND pair_decided = 0)
+    ),
+    batch_dropped AS (
+        SELECT DISTINCT a AS doc_id FROM adj
+        WHERE a NOT IN (SELECT a FROM g WHERE kept = 1)
+    )
+    SELECT doc_id FROM toks
+    WHERE doc_id >= 1000000
+      AND doc_id NOT IN (SELECT doc_id FROM corpus_dropped)
+      AND doc_id NOT IN (SELECT doc_id FROM batch_dropped)
 """
 
 
@@ -2700,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "cluster_metrics": q_cluster_metrics,
         "incremental_neardup": q_incremental_neardup,
+        "incremental_neardup_exact": q_incremental_neardup_exact,
         "mnm_entries": q_mnm_entries,
         "identifier_actions": q_identifier_actions,
     }
@@ -2762,6 +2961,7 @@ def _static_oracles() -> dict[str, str]:
         "sessionize": _Q_SESSIONIZE_SQL,
         "cluster_metrics": _Q_CLUSTER_METRICS_SQL,
         "incremental_neardup": _q_incremental_sql(),
+        "incremental_neardup_exact": _q_incremental_exact_sql(),
         "mnm_entries": _Q_MNM_SQL,
         "identifier_actions": _Q_IDENT_ACTIONS_SQL,
     }

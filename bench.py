@@ -11,7 +11,10 @@ query and the flagship pipeline run TWICE in the same JVM and the
 REPORTED per-query value is the second (warm) run. First-execution wall
 on this shared box swings 3-30x on unchanged code (JIT/codegen warmup,
 page cache, host noise) — round 3 burned a session adjudicating a 24%
-phantom "regression" that was pure cold-run noise. Warm values are
+phantom "regression" that was pure cold-run noise. The DataFrame cache is
+cleared before every measured run, so "warm" means JVM/codegen-warm full
+recompute, never a CacheManager replay of run 1's .cache() data (which
+would hide regressions in the dominant stages). Warm values are
 reproducible within ~1.5x run-to-run; the cold pass is still recorded
 (``queries_cold`` / ``cold_wall_seconds``) so cross-round comparisons
 against the pre-round-4 cold-only numbers stay possible.
@@ -45,7 +48,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "2000"))
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
 BENCH_QUERIES = [
     "minhash_lsh_neardup",
@@ -95,7 +98,10 @@ ROUND3_QUERIES = [
     "mnm_entries",
     "identifier_actions",
 ]
-BENCH_QUERIES = BENCH_QUERIES + ROUND3_QUERIES
+ROUND4_QUERIES = [
+    "incremental_neardup_exact",
+]
+BENCH_QUERIES = BENCH_QUERIES + ROUND3_QUERIES + ROUND4_QUERIES
 
 
 def _run_noop(df) -> None:
@@ -118,6 +124,12 @@ def main() -> None:
     qs = entry_mod.queries()
     for name in BENCH_QUERIES:
         for run in range(N_RUNS):
+            # Warm must mean "JVM/codegen warm", NOT "cached": a repeated
+            # plan-identical query is served from run 1's .cache() by the
+            # CacheManager and measures nothing (the PERF.md §16 trap).
+            # Clearing the DataFrame cache each run keeps every measured
+            # run a full recompute.
+            spark.catalog.clearCache()
             t0 = time.time()
             _run_noop(qs[name](spark, SF_DIR))
             dt = time.time() - t0
@@ -134,6 +146,7 @@ def main() -> None:
     }
     n_pairs, n_docs, er_f1 = 0, 0, 0.0
     for run in range(N_RUNS):
+        spark.catalog.clearCache()  # same no-cache-replay rule as above
         t0 = time.time()
         res = run_pipeline(
             spark, pages, labeled, PipelineConfig(occupation_closure=closure)
@@ -168,11 +181,13 @@ def main() -> None:
                 "cold_wall_seconds": round(sum(cold.values()), 2),
                 "shared_r2_wall_seconds": round(
                     sum(v for k, v in warm.items()
-                        if k not in ROUND3_QUERIES), 2
+                        if k not in ROUND3_QUERIES
+                        and k not in ROUND4_QUERIES), 2
                 ),
                 "shared_r2_wall_cold_seconds": round(
                     sum(v for k, v in cold.items()
-                        if k not in ROUND3_QUERIES), 2
+                        if k not in ROUND3_QUERIES
+                        and k not in ROUND4_QUERIES), 2
                 ),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in warm.items()},

@@ -77,11 +77,21 @@ def connected_components(
     src: str = "url_a",
     dst: str = "url_b",
     max_iterations: int = 20,
+    release_checkpoint: bool = False,
 ) -> DataFrame:
     """Edge list -> (url, cluster_id) with cluster_id = min url in component.
 
     Only nodes that appear in an edge are returned; callers union isolated
     nodes with ``cluster_id = url`` themselves (see ``assign_clusters``).
+
+    The convergence loop unpersists each iteration's localCheckpoint, but
+    the FINAL converged edge set stays pinned because the lazy result
+    depends on it. ``release_checkpoint=True`` materializes the (node,
+    cluster) result as its own eager localCheckpoint and releases the
+    converged edges immediately — use it from per-batch loops (e.g.
+    incremental dedup) where one pinned edge set per call would
+    accumulate; release the returned frame itself with
+    ``_unpersist_checkpoint`` once consumed.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src") != F.col("dst")
@@ -114,7 +124,11 @@ def connected_components(
     # After convergence every edge points node -> component min (a star).
     members = e.select(F.col("src").alias("url"), F.col("dst").alias("cluster_id"))
     roots = e.select(F.col("dst").alias("url"), F.col("dst").alias("cluster_id"))
-    return members.unionByName(roots).distinct()
+    out = members.unionByName(roots).distinct()
+    if release_checkpoint:
+        out = out.localCheckpoint()  # eager: materializes before the release
+        _unpersist_checkpoint(e)
+    return out
 
 
 def assign_clusters(

@@ -699,13 +699,24 @@ def incremental_minhash_neardup(
     # unconditionally (their near-dup is, by construction, already KEPT in
     # the corpus); the in-batch graph is then resolved per connected
     # component with the ascending-id greedy pass.
-    corpus_dropped = confirm(cand, corpus_toks).select("doc_id").distinct()
+    #
+    # Both id frames are consumed MULTIPLE times (corpus_dropped: two
+    # edge filters + the final union; edges: the CC loop + the component
+    # re-join) and their lineage contains the full signature/banding
+    # pipeline — localCheckpoint materializes each ONCE (they are id-only
+    # rows, tiny relative to the batch) instead of recomputing signatures
+    # per consumer (~1.5x wall measured at sf0.1). Same pinned-RDD budget
+    # as documented on _greedy_component_drops.
+    corpus_dropped = (
+        confirm(cand, corpus_toks).select("doc_id").distinct()
+        .localCheckpoint()
+    )
     edges = confirm(batch_cand, new_toks).select("doc_id", "other_id")
     edges = edges.join(corpus_dropped, "doc_id", "left_anti").join(
         corpus_dropped.select(F.col("doc_id").alias("other_id")),
         "other_id",
         "left_anti",
-    )
+    ).localCheckpoint()
     dup_ids = corpus_dropped.unionByName(
         _greedy_component_drops(edges)
     ).distinct()
@@ -719,7 +730,15 @@ def _greedy_component_drops(edges: DataFrame) -> DataFrame:
     components over the edge graph + one ``applyInPandas`` greedy pass per
     component (the greedy decision chain never crosses a component
     boundary). Per-task memory is bounded by the largest component's edge
-    count; isolated docs never enter the graph and are trivially kept."""
+    count; isolated docs never enter the graph and are trivially kept.
+
+    Checkpoint hygiene for per-batch ingestion loops: the CC call runs
+    with ``release_checkpoint=True`` so its converged edge set is released
+    immediately; what stays pinned per exact-mode call is a handful of
+    ID-ONLY tables (confirmed edges, corpus-dropped ids, the (node,
+    cluster) map) until GC — bounded by dup counts, never by batch or
+    corpus text volume (regression-tested in
+    test_dedup.py::test_exact_mode_bounds_pinned_checkpoints)."""
     import pandas as pd
 
     from pyspark.sql.types import StructField, StructType
@@ -727,7 +746,9 @@ def _greedy_component_drops(edges: DataFrame) -> DataFrame:
     from soweego_spark.operators.cluster import connected_components
 
     id_type = edges.schema["doc_id"].dataType
-    comp = connected_components(edges, src="doc_id", dst="other_id")
+    comp = connected_components(
+        edges, src="doc_id", dst="other_id", release_checkpoint=True
+    )
     ec = edges.join(
         comp.select(F.col("url").alias("doc_id"), "cluster_id"), "doc_id"
     ).select(

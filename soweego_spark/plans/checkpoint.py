@@ -165,6 +165,18 @@ class StageCheckpointer:
         data_dir = d / "data"
         spec = self.bucket_specs.get(stage)
         schema_ddl = None
+        if spec and self.table_format == "iceberg":
+            # The write side only exists for Spark-native bucketed parquet.
+            # Writing parquet here and registering USING iceberg on resume
+            # would silently read an empty table (no Iceberg snapshot at
+            # the location) — fail fast instead. The iceberg seam is the
+            # registration DDL (_register_ddl); wire df.writeTo(...)
+            # .using("iceberg") here when the runtime jars + catalog exist.
+            raise NotImplementedError(
+                "bucketed stage save with table_format='iceberg' requires "
+                "an Iceberg write path (runtime jars + catalog); only the "
+                "registration DDL seam is implemented in this sandbox"
+            )
         if spec:
             from soweego_spark.sources.readers import write_bucketed_table
 

@@ -88,17 +88,27 @@ def run_pipeline(
     # start those joins Exchange-free instead of re-shuffling the table —
     # at 10^12 rows that re-shuffle is the dominant avoidable resume cost.
     # Callers opt out by passing an explicit falsy spec
-    # (bucket_specs={"signatures": None}); setdefault never overrides.
-    if checkpointer is not None:
-        checkpointer.bucket_specs.setdefault(
-            "signatures",
-            {"bucket_cols": ["url"], "sort_cols": ["url"], "n_buckets": 32},
-        )
+    # (bucket_specs={"signatures": None}); an existing entry is never
+    # overridden. The default is scoped to each stage() call below
+    # (restored in a finally) so the caller's checkpointer and dict are
+    # never permanently mutated; resume needs no lasting spec either —
+    # load() registers bucketed tables from the manifest, not from
+    # bucket_specs.
+    default_specs = {
+        "signatures": {
+            "bucket_cols": ["url"], "sort_cols": ["url"], "n_buckets": 32,
+        },
+    }
 
     def stage(name: str, thunk, extra: dict | None = None) -> DataFrame:
         if checkpointer is None:
             return thunk()
-        return checkpointer.stage(name, {**base_cfg, **(extra or {})}, thunk)
+        orig = checkpointer.bucket_specs
+        checkpointer.bucket_specs = {**default_specs, **orig}
+        try:
+            return checkpointer.stage(name, {**base_cfg, **(extra or {})}, thunk)
+        finally:
+            checkpointer.bucket_specs = orig
 
     sig = stage("signatures", lambda: extract_signatures(pages))
     # Lazy cache, deliberately: five consumers (three blocking key

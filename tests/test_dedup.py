@@ -473,3 +473,26 @@ def test_incremental_minhash_within_batch_exact_vs_conservative(spark):
         incremental_minhash_neardup(
             new, corpus, within_batch="bogus"
         ).collect()
+
+
+def test_exact_mode_bounds_pinned_checkpoints(spark):
+    """Per-batch exact-mode dedup must not accumulate the CC loop's
+    converged-edge localCheckpoints: each call leaves at most a handful
+    of pinned ID-ONLY RDDs (confirmed edges, corpus-dropped ids, the
+    (node, cluster) map), never one per CC iteration and never anything
+    holding text/token volume."""
+    from soweego_spark.operators.dedup import incremental_minhash_neardup
+
+    base = [f"w{i}" for i in range(10)]
+    new = spark.createDataFrame(
+        [(1, base), (2, base[1:] + ["x"]), (3, base[2:] + ["x", "y"])],
+        "doc_id long, tokens array<string>",
+    )
+    corpus = spark.createDataFrame([], "doc_id long, tokens array<string>")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    incremental_minhash_neardup(
+        new, corpus, jaccard_threshold=0.7, within_batch="exact"
+    ).collect()
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before + 3, (before, after)
