@@ -50,6 +50,7 @@ Operator coverage map (SURVEY.md §2 -> query):
   eval  pairwise cluster P/R/F1 (sufficient stats)     -> cluster_metrics
   dedup incremental new-batch-vs-corpus near-dedup     -> incremental_neardup
   dedup exact sequential-greedy within-batch dedup     -> incremental_neardup_exact
+  S1-S3 IMDb per-catalog extraction flavor             -> imdb_person_flavor
 
 The full record-linkage pipeline (blocking + features + classifier + CC
 clustering over the synthetic pages table) is exercised by the pytest suite
@@ -2855,6 +2856,160 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _imdb_people_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IMDb name-basics-shaped rows synthesized from the
+    customer table: exercises every branch of the flavor — null/invalid
+    years, null professions (skipped), misc-only (all tables), gendered
+    professions, known-for edges."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    prof_choices = [
+        "actor,director",
+        "actress,composer,writer",
+        "miscellaneous",
+        "producer,music_department,stunts",
+        None,
+        "writer,casting_director",
+    ]
+    prof = F.element_at(
+        F.array(*[F.lit(p).cast("string") for p in prof_choices]),
+        (k % 6 + 1).cast("int"),
+    )
+    birth = (
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .when(k % 11 == 0, F.lit("19??"))
+        .otherwise((F.lit(1900) + k % 90).cast("string"))
+    )
+    death = F.when(k % 5 == 0, (F.lit(1960) + k % 60).cast("string"))
+    known = F.when(
+        k % 3 != 0,
+        F.concat(
+            F.lit("tt"), (k % 97).cast("string"),
+            F.lit(",tt"), (k % 31).cast("string"),
+        ),
+    )
+    return cust.select(
+        F.concat(F.lit("nm"), k.cast("string")).alias("nconst"),
+        F.col("c_name").alias("primaryName"),
+        birth.alias("birthYear"),
+        death.alias("deathYear"),
+        prof.alias("primaryProfession"),
+        known.alias("knownForTitles"),
+    )
+
+
+def q_imdb_person_flavor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMDb per-catalog extraction flavor (sources/catalogs.py:
+    imdb_person_tables) under the hash gate: per-profession table
+    fan-out, misc-only -> all tables, actor/actress gender, precision-9
+    year dates, profession->QID translation minus each table's implicit
+    occupation — reference imdb_dump_extractor.py:170-398. Output is the
+    five person tables tagged and unioned."""
+    from soweego_spark.sources.catalogs import (
+        IMDB_PERSON_TABLES,
+        imdb_person_tables,
+    )
+
+    tables = imdb_person_tables(_imdb_people_fixture(spark, sf_dir))
+    out = None
+    for name in sorted(IMDB_PERSON_TABLES):
+        tagged = tables[name].withColumn("person_table", F.lit(name))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out.select(
+        "person_table", "catalog_id", "name", "name_tokens", "gender",
+        "born", "born_precision", "died", "died_precision", "occupations",
+    )
+
+
+def _q_imdb_person_flavor_sql() -> str:
+    """DuckDB replica of q_imdb_person_flavor — same fixture arithmetic,
+    the tokenize kernel replayed in SQL (the synthesized names are pure
+    ASCII so the fold table is the identity; lower+trim+\\W-split+len>1+
+    stop-word filter+sort is the full kernel), the profession->QID map
+    inlined as a CASE, and the same per-table membership predicates."""
+    from soweego_spark.functions.textnorm import STOPWORDS_ENG
+    from soweego_spark.sources.catalogs import (
+        IMDB_PERSON_TABLES,
+        _IMDB_MUSIC_PROFESSIONS,
+        IMDB_PROFESSIONS_MAPPING,
+    )
+
+    stop = ", ".join(
+        "'" + w + "'" for w in sorted(STOPWORDS_ENG)
+    )
+    qid_case = "CASE p " + " ".join(
+        f"WHEN '{slug}' THEN '{qid}'"
+        for slug, qid in sorted(IMDB_PROFESSIONS_MAPPING.items())
+    ) + " END"
+    music = ", ".join("'" + p + "'" for p in _IMDB_MUSIC_PROFESSIONS)
+    membership = {
+        "actors": "list_contains(profs, 'actor') OR "
+                  "list_contains(profs, 'actress')",
+        "directors": "list_contains(profs, 'director')",
+        "musicians": f"len(list_intersect(profs, [{music}])) > 0",
+        "producers": "list_contains(profs, 'producer')",
+        "writers": "list_contains(profs, 'writer')",
+    }
+    arms = []
+    for table in sorted(IMDB_PERSON_TABLES):
+        own = IMDB_PERSON_TABLES[table]
+        arms.append(f"""
+        SELECT '{table}' AS person_table, catalog_id, name, name_tokens,
+               gender, born, born_precision, died, died_precision,
+               CASE WHEN len(list_filter(qids, q -> q <> '{own}')) > 0
+                    THEN array_to_string(
+                        list_filter(qids, q -> q <> '{own}'), ' ')
+               END AS occupations
+        FROM enriched
+        WHERE ({membership[table]}) OR misc_only""")
+    union = "\n        UNION ALL".join(arms)
+    return f"""
+    WITH people AS (
+        SELECT 'nm' || c_custkey::VARCHAR AS nconst,
+               c_name AS primaryName,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    WHEN c_custkey % 11 = 0 THEN '19??'
+                    ELSE (1900 + c_custkey % 90)::VARCHAR END AS birthYear,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN (1960 + c_custkey % 60)::VARCHAR END AS deathYear,
+               (['actor,director', 'actress,composer,writer',
+                 'miscellaneous', 'producer,music_department,stunts',
+                 NULL, 'writer,casting_director'])[
+                   (c_custkey % 6 + 1)::INT] AS primaryProfession
+        FROM customer
+    ),
+    enriched AS (
+        SELECT nconst AS catalog_id, primaryName AS name,
+               string_split(primaryProfession, ',') AS profs,
+               profs = ['miscellaneous'] AS misc_only,
+               list_sort(list_distinct(list_filter(
+                   regexp_split_to_array(lower(trim(primaryName)), '\\W+'),
+                   t -> len(t) > 1 AND NOT list_contains([{stop}], t)
+               ))) AS toks,
+               CASE WHEN len(toks) > 0
+                    THEN array_to_string(toks, ' ') END AS name_tokens,
+               CASE WHEN list_contains(profs, 'actor') THEN 'male'
+                    WHEN list_contains(profs, 'actress') THEN 'female'
+               END AS gender,
+               CASE WHEN TRY_CAST(birthYear AS INT) IS NOT NULL
+                    THEN make_date(TRY_CAST(birthYear AS INT), 1, 1)
+               END AS born,
+               CASE WHEN TRY_CAST(birthYear AS INT) IS NOT NULL
+                    THEN 9 END AS born_precision,
+               CASE WHEN TRY_CAST(deathYear AS INT) IS NOT NULL
+                    THEN make_date(TRY_CAST(deathYear AS INT), 1, 1)
+               END AS died,
+               CASE WHEN TRY_CAST(deathYear AS INT) IS NOT NULL
+                    THEN 9 END AS died_precision,
+               list_sort(list_distinct(list_filter(
+                   [{qid_case} FOR p IN profs], q -> q IS NOT NULL
+               ))) AS qids
+        FROM people
+        WHERE primaryProfession IS NOT NULL AND primaryProfession <> ''
+    ){union}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_blocking_topk": q_token_blocking_topk,
@@ -2899,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_metrics": q_cluster_metrics,
         "incremental_neardup": q_incremental_neardup,
         "incremental_neardup_exact": q_incremental_neardup_exact,
+        "imdb_person_flavor": q_imdb_person_flavor,
         "mnm_entries": q_mnm_entries,
         "identifier_actions": q_identifier_actions,
     }
@@ -2962,6 +3118,7 @@ def _static_oracles() -> dict[str, str]:
         "cluster_metrics": _Q_CLUSTER_METRICS_SQL,
         "incremental_neardup": _q_incremental_sql(),
         "incremental_neardup_exact": _q_incremental_exact_sql(),
+        "imdb_person_flavor": _q_imdb_person_flavor_sql(),
         "mnm_entries": _Q_MNM_SQL,
         "identifier_actions": _Q_IDENT_ACTIONS_SQL,
     }
