@@ -51,6 +51,7 @@ Operator coverage map (SURVEY.md §2 -> query):
   dedup incremental new-batch-vs-corpus near-dedup     -> incremental_neardup
   dedup exact sequential-greedy within-batch dedup     -> incremental_neardup_exact
   S1-S3 IMDb per-catalog extraction flavor             -> imdb_person_flavor
+  S1-S3 MusicBrainz relational extraction flavor       -> musicbrainz_artist_flavor
 
 The full record-linkage pipeline (blocking + features + classifier + CC
 clustering over the synthetic pages table) is exercised by the pytest suite
@@ -3010,6 +3011,179 @@ def _q_imdb_person_flavor_sql() -> str:
 """
 
 
+def q_musicbrainz_artist_flavor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MusicBrainz per-catalog extraction flavor (sources/catalogs.py:
+    musicbrainz_artist_tables) under the hash gate: person/band type-code
+    split, the full date-precision decoder (year-only=9, year+month=10,
+    full=11, negative/missing year = no date), gender codes, area
+    dimension joins, and alias denormalization — reference
+    musicbrainz_dump_extractor.py:458-637. Artists and bands are tagged
+    and unioned (bands carry NULL gender — the reference band table has
+    no gender column)."""
+    from soweego_spark.sources.catalogs import musicbrainz_artist_tables
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    def part_col(mod_null, base, modulo, offset):
+        return F.when(k % mod_null == 0, F.lit(None).cast("string")).otherwise(
+            s(F.lit(base) + k % modulo + F.lit(offset))
+        )
+
+    artist = orders.select(
+        s(k).alias("id"),
+        F.concat(F.lit("mb-"), s(k)).alias("gid"),
+        F.concat_ws(" ", "o_orderstatus", "o_orderpriority").alias("label"),
+        F.when(k % 13 == 0, F.lit(None).cast("string"))
+        .when(k % 17 == 0, F.lit("-100"))
+        .otherwise(s(F.lit(1900) + k % 100)).alias("b_year"),
+        part_col(3, 0, 12, 1).alias("b_month"),
+        part_col(4, 0, 28, 1).alias("b_day"),
+        F.when(k % 2 == 0, s(F.lit(1950) + k % 60)).alias("d_year"),
+        part_col(5, 0, 12, 1).alias("d_month"),
+        part_col(6, 0, 28, 1).alias("d_day"),
+        s(k % 7).alias("type_id"),
+        s(k % 4).alias("gender"),
+        s(k % 30).alias("b_place"),
+        s(k % 35).alias("d_place"),
+    )
+    alias_df = orders.filter(k % 5 == 0).select(
+        s(k).alias("parent_id"),
+        F.when(k % 10 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("aka "), F.col("o_orderpriority")))
+        .alias("label"),
+    )
+    area = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("id"),
+        F.col("n_name").alias("name"),
+    )
+    t = musicbrainz_artist_tables(artist, alias_df, area)
+    artists = t["artists"].withColumn("side", F.lit("artist"))
+    bands = (
+        t["bands"]
+        .withColumn("gender", F.lit(None).cast("string"))
+        .withColumn("side", F.lit("band"))
+    )
+    cols = [
+        "side", "catalog_id", "name", "name_tokens", "born",
+        "born_precision", "died", "died_precision", "birth_place",
+        "death_place", "gender",
+    ]
+    return artists.select(*cols).unionByName(bands.select(*cols))
+
+
+def _q_musicbrainz_artist_flavor_sql() -> str:
+    """DuckDB replica of q_musicbrainz_artist_flavor — same fixture
+    arithmetic, the tokenize kernel with the NAME stop-word list, the
+    date-precision decoder, area joins and alias denormalization in
+    plain SQL."""
+    from soweego_spark.functions.textnorm import NAME_STOPWORDS
+
+    stop = ", ".join("'" + w + "'" for w in sorted(NAME_STOPWORDS))
+    tok = (
+        "list_sort(list_distinct(list_filter("
+        "regexp_split_to_array(lower(trim({x})), '\\W+'), "
+        f"t -> len(t) > 1 AND NOT list_contains([{stop}], t))))"
+    )
+    date_prec = """
+               CASE WHEN {y} IS NOT NULL AND TRY_CAST({y} AS INT) >= 0
+                    THEN make_date(TRY_CAST({y} AS INT),
+                                   COALESCE(TRY_CAST({m} AS INT), 1),
+                                   COALESCE(TRY_CAST({d} AS INT), 1))
+               END AS {out},
+               CASE WHEN {y} IS NOT NULL AND TRY_CAST({y} AS INT) >= 0
+                    THEN CASE WHEN {m} IS NULL THEN 9
+                              WHEN {d} IS NULL THEN 10
+                              ELSE 11 END
+               END AS {out}_precision"""
+    return f"""
+    WITH raw AS (
+        SELECT o_orderkey::VARCHAR AS id,
+               'mb-' || o_orderkey::VARCHAR AS gid,
+               o_orderstatus || ' ' || o_orderpriority AS label,
+               CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                    WHEN o_orderkey % 17 = 0 THEN '-100'
+                    ELSE (1900 + o_orderkey % 100)::VARCHAR END AS b_year,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE (1 + o_orderkey % 12)::VARCHAR END AS b_month,
+               CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                    ELSE (1 + o_orderkey % 28)::VARCHAR END AS b_day,
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN (1950 + o_orderkey % 60)::VARCHAR END AS d_year,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE (1 + o_orderkey % 12)::VARCHAR END AS d_month,
+               CASE WHEN o_orderkey % 6 = 0 THEN NULL
+                    ELSE (1 + o_orderkey % 28)::VARCHAR END AS d_day,
+               (o_orderkey % 7)::VARCHAR AS type_id,
+               (o_orderkey % 4)::VARCHAR AS gender,
+               (o_orderkey % 30)::VARCHAR AS b_place,
+               (o_orderkey % 35)::VARCHAR AS d_place
+        FROM orders
+    ),
+    enriched AS (
+        SELECT gid AS catalog_id, id, label AS name, type_id,
+               {tok.format(x='label')} AS toks,
+               CASE WHEN len(toks) > 0
+                    THEN array_to_string(toks, ' ') END AS name_tokens,
+               {date_prec.format(y='b_year', m='b_month', d='b_day',
+                                 out='born')},
+               {date_prec.format(y='d_year', m='d_month', d='d_day',
+                                 out='died')},
+               CASE raw.gender WHEN '1' THEN 'male'
+                               WHEN '2' THEN 'female' END AS gender,
+               ba.lname AS birth_place, da.lname AS death_place
+        FROM raw
+        LEFT JOIN (SELECT n_nationkey::VARCHAR AS aid, lower(n_name) AS lname
+                   FROM nation) ba ON raw.b_place = ba.aid
+        LEFT JOIN (SELECT n_nationkey::VARCHAR AS aid, lower(n_name) AS lname
+                   FROM nation) da ON raw.d_place = da.aid
+    ),
+    aliases AS (
+        SELECT o_orderkey::VARCHAR AS id,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                    ELSE 'aka ' || o_orderpriority END AS alabel
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    with_alias AS (
+        SELECT e.catalog_id, e.type_id, a.alabel AS name,
+               -- atoks, NOT toks: a lateral alias named like a real
+               -- column of `enriched` resolves to the COLUMN in DuckDB,
+               -- silently tokenizing the main label instead of the alias
+               {tok.format(x='a.alabel')} AS atoks,
+               CASE WHEN len(atoks) > 0
+                    THEN array_to_string(atoks, ' ') END AS name_tokens,
+               e.born, e.born_precision, e.died, e.died_precision,
+               e.gender, e.birth_place, e.death_place
+        FROM enriched e JOIN aliases a ON e.id = a.id
+        WHERE a.alabel IS NOT NULL AND a.alabel <> ''
+    ),
+    artists AS (
+        SELECT catalog_id, name, name_tokens, born, born_precision,
+               died, died_precision, birth_place, death_place, gender
+        FROM enriched WHERE type_id IN ('1', '4')
+        UNION ALL
+        SELECT catalog_id, name, name_tokens, born, born_precision,
+               died, died_precision, birth_place, death_place, gender
+        FROM with_alias WHERE type_id IN ('1', '4')
+    ),
+    bands AS (
+        SELECT catalog_id, name, name_tokens, born, born_precision,
+               died, died_precision, birth_place, death_place,
+               NULL::VARCHAR AS gender
+        FROM enriched WHERE type_id IN ('2', '5', '6')
+        UNION ALL
+        SELECT catalog_id, name, name_tokens, born, born_precision,
+               died, died_precision, birth_place, death_place,
+               NULL::VARCHAR AS gender
+        FROM with_alias WHERE type_id IN ('2', '5', '6')
+    )
+    SELECT 'artist' AS side, * FROM artists
+    UNION ALL
+    SELECT 'band' AS side, * FROM bands
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_blocking_topk": q_token_blocking_topk,
@@ -3055,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": q_incremental_neardup,
         "incremental_neardup_exact": q_incremental_neardup_exact,
         "imdb_person_flavor": q_imdb_person_flavor,
+        "musicbrainz_artist_flavor": q_musicbrainz_artist_flavor,
         "mnm_entries": q_mnm_entries,
         "identifier_actions": q_identifier_actions,
     }
@@ -3119,6 +3294,7 @@ def _static_oracles() -> dict[str, str]:
         "incremental_neardup": _q_incremental_sql(),
         "incremental_neardup_exact": _q_incremental_exact_sql(),
         "imdb_person_flavor": _q_imdb_person_flavor_sql(),
+        "musicbrainz_artist_flavor": _q_musicbrainz_artist_flavor_sql(),
         "mnm_entries": _Q_MNM_SQL,
         "identifier_actions": _Q_IDENT_ACTIONS_SQL,
     }

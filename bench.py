@@ -101,6 +101,7 @@ ROUND3_QUERIES = [
 ROUND4_QUERIES = [
     "incremental_neardup_exact",
     "imdb_person_flavor",
+    "musicbrainz_artist_flavor",
 ]
 BENCH_QUERIES = BENCH_QUERIES + ROUND3_QUERIES + ROUND4_QUERIES
 
