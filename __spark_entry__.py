@@ -52,6 +52,7 @@ Operator coverage map (SURVEY.md §2 -> query):
   dedup exact sequential-greedy within-batch dedup     -> incremental_neardup_exact
   S1-S3 IMDb per-catalog extraction flavor             -> imdb_person_flavor
   S1-S3 MusicBrainz relational extraction flavor       -> musicbrainz_artist_flavor
+  S1-S3 Discogs masters extraction flavor              -> discogs_master_flavor
 
 The full record-linkage pipeline (blocking + features + classifier + CC
 clustering over the synthetic pages table) is exercised by the pytest suite
@@ -3184,6 +3185,118 @@ def _q_musicbrainz_artist_flavor_sql() -> str:
 """
 
 
+def q_discogs_master_flavor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Discogs masters extraction flavor (sources/catalogs.py:
+    discogs_master_tables) under the hash gate: genre∪style token union,
+    data-quality lowercasing, year -> precision-9 date with invalid-year
+    suppression, and the master→artist relationship set (joined back as
+    a distinct-artist count so one output exercises both tables) —
+    reference discogs_dump_extractor.py:176-209."""
+    from soweego_spark.sources.catalogs import discogs_master_tables
+
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = lambda c: c.cast("string")  # noqa: E731
+    genres = F.when(
+        k % 11 != 0,
+        F.struct(
+            F.array(F.col("p_brand"), F.lit("Stage & Screen")).alias("genre")
+        ),
+    )
+    styles = F.when(
+        k % 4 != 0, F.struct(F.array(F.col("p_type")).alias("style"))
+    )
+    artists = F.struct(
+        F.array(
+            F.struct(F.concat(F.lit("d"), s(k % 50)).alias("id")),
+            F.struct(F.concat(F.lit("d"), s(k % 30)).alias("id")),
+        ).alias("artist")
+    )
+    raw = part.select(
+        F.concat(F.lit("m"), s(k)).alias("id"),
+        F.concat(F.lit("r"), s(k % 1000)).alias("main_release"),
+        F.col("p_name").alias("title"),
+        F.element_at(
+            F.array(
+                F.lit("Correct"), F.lit("Needs Vote"),
+                F.lit("Complete And Correct"),
+            ),
+            (k % 3 + 1).cast("int"),
+        ).alias("data_quality"),
+        F.when(k % 9 == 0, F.lit(None).cast("string"))
+        .when(k % 7 == 0, F.lit("c.1970"))
+        .otherwise(s(F.lit(1900) + k % 120)).alias("year"),
+        genres.alias("genres"),
+        styles.alias("styles"),
+        artists.alias("artists"),
+    )
+    t = discogs_master_tables(raw)
+    n_artists = t["master_artist_relationships"].groupBy(
+        "master_catalog_id"
+    ).agg(F.count("*").alias("n_artists"))
+    return t["masters"].join(
+        n_artists,
+        t["masters"]["catalog_id"] == n_artists["master_catalog_id"],
+    ).drop("master_catalog_id")
+
+
+def _q_discogs_master_flavor_sql() -> str:
+    """DuckDB replica of q_discogs_master_flavor — same fixture, the
+    text-tokenize kernel replayed over the concatenated genre+style
+    phrases, same year/date handling, distinct artist count."""
+    from soweego_spark.functions.textnorm import STOPWORDS_ENG
+
+    stop = ", ".join("'" + w + "'" for w in sorted(STOPWORDS_ENG))
+
+    def tok(x):
+        return (
+            "list_sort(list_distinct(list_filter("
+            f"regexp_split_to_array(lower(trim({x})), '\\W+'), "
+            f"t -> len(t) > 1 AND NOT list_contains([{stop}], t))))"
+        )
+
+    return f"""
+    WITH raw AS (
+        SELECT 'm' || p_partkey::VARCHAR AS id,
+               'r' || (p_partkey % 1000)::VARCHAR AS main_release,
+               p_name AS title,
+               (['Correct', 'Needs Vote', 'Complete And Correct'])[
+                   (p_partkey % 3 + 1)::INT] AS data_quality,
+               CASE WHEN p_partkey % 9 = 0 THEN NULL
+                    WHEN p_partkey % 7 = 0 THEN 'c.1970'
+                    ELSE (1900 + p_partkey % 120)::VARCHAR END AS year,
+               CASE WHEN p_partkey % 11 <> 0
+                    THEN [p_brand, 'Stage & Screen']
+                    ELSE []::VARCHAR[] END AS genre_list,
+               CASE WHEN p_partkey % 4 <> 0
+                    THEN [p_type] ELSE []::VARCHAR[] END AS style_list,
+               ['d' || (p_partkey % 50)::VARCHAR,
+                'd' || (p_partkey % 30)::VARCHAR] AS artist_ids
+        FROM part
+    ),
+    masters AS (
+        SELECT id AS catalog_id, main_release AS main_release_id,
+               title AS name,
+               CASE WHEN len({tok('title')}) > 0 THEN
+                   array_to_string({tok('title')}, ' ') END AS name_tokens,
+               lower(data_quality) AS data_quality,
+               {tok("array_to_string(list_concat(genre_list, style_list), ' ')")}
+                   AS gtoks,
+               CASE WHEN len(gtoks) > 0
+                    THEN array_to_string(gtoks, ' ') END AS genres,
+               CASE WHEN TRY_CAST(year AS INT) IS NOT NULL
+                    THEN make_date(TRY_CAST(year AS INT), 1, 1) END AS born,
+               CASE WHEN TRY_CAST(year AS INT) IS NOT NULL
+                    THEN 9 END AS born_precision,
+               len(list_distinct(artist_ids))::BIGINT AS n_artists
+        FROM raw
+    )
+    SELECT catalog_id, main_release_id, name, name_tokens, data_quality,
+           genres, born, born_precision, n_artists
+    FROM masters
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_blocking_topk": q_token_blocking_topk,
@@ -3230,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup_exact": q_incremental_neardup_exact,
         "imdb_person_flavor": q_imdb_person_flavor,
         "musicbrainz_artist_flavor": q_musicbrainz_artist_flavor,
+        "discogs_master_flavor": q_discogs_master_flavor,
         "mnm_entries": q_mnm_entries,
         "identifier_actions": q_identifier_actions,
     }
@@ -3295,6 +3409,7 @@ def _static_oracles() -> dict[str, str]:
         "incremental_neardup_exact": _q_incremental_exact_sql(),
         "imdb_person_flavor": _q_imdb_person_flavor_sql(),
         "musicbrainz_artist_flavor": _q_musicbrainz_artist_flavor_sql(),
+        "discogs_master_flavor": _q_discogs_master_flavor_sql(),
         "mnm_entries": _Q_MNM_SQL,
         "identifier_actions": _Q_IDENT_ACTIONS_SQL,
     }

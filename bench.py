@@ -102,6 +102,7 @@ ROUND4_QUERIES = [
     "incremental_neardup_exact",
     "imdb_person_flavor",
     "musicbrainz_artist_flavor",
+    "discogs_master_flavor",
 ]
 BENCH_QUERIES = BENCH_QUERIES + ROUND3_QUERIES + ROUND4_QUERIES
 
