@@ -53,6 +53,7 @@ Operator coverage map (SURVEY.md §2 -> query):
   S1-S3 IMDb per-catalog extraction flavor             -> imdb_person_flavor
   S1-S3 MusicBrainz relational extraction flavor       -> musicbrainz_artist_flavor
   S1-S3 Discogs masters extraction flavor              -> discogs_master_flavor
+  S1-S3 Discogs artists extraction flavor              -> discogs_artist_flavor
 
 The full record-linkage pipeline (blocking + features + classifier + CC
 clustering over the synthetic pages table) is exercised by the pytest suite
@@ -3076,28 +3077,39 @@ def q_musicbrainz_artist_flavor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_musicbrainz_artist_flavor_sql() -> str:
     """DuckDB replica of q_musicbrainz_artist_flavor — same fixture
-    arithmetic, the tokenize kernel with the NAME stop-word list, the
+    arithmetic, the tokenize kernel with its default English stop list
+    (matching the reference's extraction-time tokenize), the
     date-precision decoder, area joins and alias denormalization in
     plain SQL."""
-    from soweego_spark.functions.textnorm import NAME_STOPWORDS
+    from soweego_spark.functions.textnorm import STOPWORDS_ENG
 
-    stop = ", ".join("'" + w + "'" for w in sorted(NAME_STOPWORDS))
+    stop = ", ".join("'" + w + "'" for w in sorted(STOPWORDS_ENG))
     tok = (
         "list_sort(list_distinct(list_filter("
         "regexp_split_to_array(lower(trim({x})), '\\W+'), "
         f"t -> len(t) > 1 AND NOT list_contains([{stop}], t))))"
     )
-    date_prec = """
+    # TRY_CAST of the assembled string, never a throwing make_date, and
+    # the precision keyed on the DATE's validity exactly like the Spark
+    # side (_mb_date_and_precision: a calendar-invalid y/m/d suppresses
+    # BOTH the date and the precision instead of aborting the oracle)
+    _d = (
+        "TRY_CAST(TRY_CAST({y} AS INT)::VARCHAR || '-' || "
+        "lpad(COALESCE(TRY_CAST({m} AS INT), 1)::VARCHAR, 2, '0') || '-' || "
+        "lpad(COALESCE(TRY_CAST({d} AS INT), 1)::VARCHAR, 2, '0') AS DATE)"
+    )
+    date_prec = (
+        """
                CASE WHEN {y} IS NOT NULL AND TRY_CAST({y} AS INT) >= 0
-                    THEN make_date(TRY_CAST({y} AS INT),
-                                   COALESCE(TRY_CAST({m} AS INT), 1),
-                                   COALESCE(TRY_CAST({d} AS INT), 1))
+                    THEN """ + _d + """
                END AS {out},
                CASE WHEN {y} IS NOT NULL AND TRY_CAST({y} AS INT) >= 0
+                    AND """ + _d + """ IS NOT NULL
                     THEN CASE WHEN {m} IS NULL THEN 9
                               WHEN {d} IS NULL THEN 10
                               ELSE 11 END
                END AS {out}_precision"""
+    )
     return f"""
     WITH raw AS (
         SELECT o_orderkey::VARCHAR AS id,
@@ -3297,6 +3309,141 @@ def _q_discogs_master_flavor_sql() -> str:
 """
 
 
+def q_discogs_artist_flavor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Discogs artists extraction flavor (sources/catalogs.py:
+    discogs_artist_tables) under the hash gate: required-field skips,
+    musician-vs-band classification by <groups>/<members> presence,
+    denormalized name variations (empty variations skipped, real_name/
+    data_quality inherited), and the profile NLP rows — reference
+    discogs_dump_extractor.py:212-305, 405-471. The four entity/NLP
+    tables are tagged and unioned on a superset schema; the LINK tables
+    are excluded here because their clean/validate/tokenize URL kernels
+    are Python (urlsplit/unquote) — they are pinned by
+    tests/test_parity_urls.py and tests/test_catalogs.py instead."""
+    from soweego_spark.sources.catalogs import discogs_artist_tables
+
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = lambda c: c.cast("string")  # noqa: E731
+    nullstr = F.lit(None).cast("string")
+    raw = part.select(
+        F.when(k % 10 != 0, F.concat(F.lit("a"), s(k))).alias("id"),
+        F.when(k % 13 != 0, F.col("p_name")).alias("name"),
+        F.when(k % 3 != 0, F.concat(F.lit("Really "), F.col("p_brand")))
+        .alias("realname"),
+        F.element_at(
+            F.array(F.lit("Correct"), F.lit("Needs Vote")),
+            (k % 2 + 1).cast("int"),
+        ).alias("data_quality"),
+        F.when(k % 4 == 0, F.col("p_type")).alias("profile"),
+        F.when(
+            k % 5 == 0,
+            F.struct(
+                F.array(F.col("p_brand"), F.lit("")).alias("name")
+            ),
+        ).alias("namevariations"),
+        F.lit(None).cast("struct<url: array<string>>").alias("urls"),
+        F.when(k % 2 == 0, F.struct(F.array(nullstr).alias("name")))
+        .alias("groups"),
+        F.when(k % 3 == 0, F.struct(F.array(nullstr).alias("name")))
+        .alias("members"),
+    )
+    t = discogs_artist_tables(raw)
+    cols = [
+        "side", "catalog_id", "name", "name_tokens", "real_name",
+        "data_quality", "description", "description_tokens",
+    ]
+
+    def tag(df: DataFrame, side: str, nlp: bool) -> DataFrame:
+        df = df.withColumn("side", F.lit(side))
+        if nlp:
+            df = (
+                df.withColumn("name", F.lit(None).cast("string"))
+                .withColumn("name_tokens", F.lit(None).cast("string"))
+                .withColumn("real_name", F.lit(None).cast("string"))
+                .withColumn("data_quality", F.lit(None).cast("string"))
+            )
+        else:
+            df = df.withColumn(
+                "description", F.lit(None).cast("string")
+            ).withColumn("description_tokens", F.lit(None).cast("string"))
+        return df.select(*cols)
+
+    return (
+        tag(t["musicians"], "musician", False)
+        .unionByName(tag(t["bands"], "band", False))
+        .unionByName(tag(t["musician_nlp"], "musician_nlp", True))
+        .unionByName(tag(t["band_nlp"], "band_nlp", True))
+    )
+
+
+def _q_discogs_artist_flavor_sql() -> str:
+    """DuckDB replica of q_discogs_artist_flavor — same fixture, same
+    classification/variation/NLP logic, tokenize kernel with the default
+    English stop list."""
+    from soweego_spark.functions.textnorm import STOPWORDS_ENG
+
+    stop = ", ".join("'" + w + "'" for w in sorted(STOPWORDS_ENG))
+
+    def tok(x):
+        return (
+            "list_sort(list_distinct(list_filter("
+            f"regexp_split_to_array(lower(trim({x})), '\\W+'), "
+            f"t -> len(t) > 1 AND NOT list_contains([{stop}], t))))"
+        )
+
+    def join_or_null(x):
+        return (
+            f"CASE WHEN len({tok(x)}) > 0 "
+            f"THEN array_to_string({tok(x)}, ' ') END"
+        )
+
+    return f"""
+    WITH raw AS (
+        SELECT CASE WHEN p_partkey % 10 <> 0
+                    THEN 'a' || p_partkey::VARCHAR END AS id,
+               CASE WHEN p_partkey % 13 <> 0 THEN p_name END AS name,
+               CASE WHEN p_partkey % 3 <> 0
+                    THEN 'Really ' || p_brand END AS realname,
+               (['Correct', 'Needs Vote'])[(p_partkey % 2 + 1)::INT]
+                   AS data_quality,
+               CASE WHEN p_partkey % 4 = 0 THEN p_type END AS profile,
+               CASE WHEN p_partkey % 5 = 0 THEN p_brand END AS variation,
+               p_partkey % 2 = 0 AS is_musician,
+               p_partkey % 2 <> 0 AND p_partkey % 3 = 0 AS is_band
+        FROM part
+        WHERE p_partkey % 10 <> 0 AND p_partkey % 13 <> 0
+          AND (p_partkey % 2 = 0 OR p_partkey % 3 = 0)
+    ),
+    mains AS (
+        SELECT CASE WHEN is_musician THEN 'musician' ELSE 'band' END AS side,
+               id AS catalog_id, name,
+               {join_or_null('name')} AS name_tokens,
+               realname AS real_name, data_quality,
+               NULL::VARCHAR AS description,
+               NULL::VARCHAR AS description_tokens
+        FROM raw
+        UNION ALL
+        SELECT CASE WHEN is_musician THEN 'musician' ELSE 'band' END,
+               id, variation,
+               {join_or_null('variation')},
+               realname, data_quality, NULL, NULL
+        FROM raw WHERE variation IS NOT NULL AND variation <> ''
+    ),
+    nlp AS (
+        SELECT CASE WHEN is_musician THEN 'musician_nlp'
+                    ELSE 'band_nlp' END AS side,
+               id AS catalog_id, NULL::VARCHAR AS name,
+               NULL::VARCHAR AS name_tokens, NULL::VARCHAR AS real_name,
+               NULL::VARCHAR AS data_quality,
+               profile AS description,
+               {join_or_null('profile')} AS description_tokens
+        FROM raw WHERE profile IS NOT NULL AND profile <> ''
+    )
+    SELECT * FROM mains UNION ALL SELECT * FROM nlp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_blocking_topk": q_token_blocking_topk,
@@ -3344,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imdb_person_flavor": q_imdb_person_flavor,
         "musicbrainz_artist_flavor": q_musicbrainz_artist_flavor,
         "discogs_master_flavor": q_discogs_master_flavor,
+        "discogs_artist_flavor": q_discogs_artist_flavor,
         "mnm_entries": q_mnm_entries,
         "identifier_actions": q_identifier_actions,
     }
@@ -3410,6 +3558,7 @@ def _static_oracles() -> dict[str, str]:
         "imdb_person_flavor": _q_imdb_person_flavor_sql(),
         "musicbrainz_artist_flavor": _q_musicbrainz_artist_flavor_sql(),
         "discogs_master_flavor": _q_discogs_master_flavor_sql(),
+        "discogs_artist_flavor": _q_discogs_artist_flavor_sql(),
         "mnm_entries": _Q_MNM_SQL,
         "identifier_actions": _Q_IDENT_ACTIONS_SQL,
     }

@@ -103,6 +103,7 @@ ROUND4_QUERIES = [
     "imdb_person_flavor",
     "musicbrainz_artist_flavor",
     "discogs_master_flavor",
+    "discogs_artist_flavor",
 ]
 BENCH_QUERIES = BENCH_QUERIES + ROUND3_QUERIES + ROUND4_QUERIES
 

@@ -105,37 +105,59 @@ _IMDB_MUSIC_PROFESSIONS = [
 ]
 
 
-def _joined_tokens(col, stopset: str = "text"):
-    """The reference stores ``' '.join(tokenize(x))``; tokenize here is
-    the byte-parity kernel. The reference joins a Python SET (unspecified
-    order); we join the kernel's sorted list — deterministic, same set.
-    Empty token sets stay NULL like the reference's skipped assignment."""
-    udf = _name_tokens_udf if stopset == "name" else _text_tokens_udf
-    toks = udf(col)
+def _join_or_null(toks):
+    """Space-join a token array, NULL when empty/NULL — the reference's
+    skipped-assignment contract for empty token sets. The single home of
+    that rule: every flavor's *_tokens column goes through here."""
     return F.when(
         toks.isNotNull() & (F.size(toks) > 0), F.array_join(toks, " ")
     )
 
 
-def _link_table(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+def _joined_tokens(col, stopset: str = "text"):
+    """The reference stores ``' '.join(tokenize(x))``; tokenize here is
+    the byte-parity kernel. The reference joins a Python SET (unspecified
+    order); we join the kernel's sorted list — deterministic, same set.
+
+    IMPORTANT: the reference's dump extractors ALL call
+    ``text_utils.tokenize`` with its DEFAULT English stop list
+    (text_utils.py:323; verified at discogs_dump_extractor.py:192,427,
+    imdb_dump_extractor.py:352, and musicbrainz _fill_entity) — the NAME
+    stop list belongs to the linker workflow, not extraction. Flavors
+    therefore use the default ``"text"`` stopset for every *_tokens
+    column, so the same person tokenizes identically across catalogs."""
+    udf = _name_tokens_udf if stopset == "name" else _text_tokens_udf
+    return _join_or_null(udf(col))
+
+
+def _link_table(
+    df: DataFrame, id_col: str, url_col: str, prevalidated: bool = False
+) -> DataFrame:
     """(catalog_id, raw url) -> one row per clean+valid URL with is_wiki
     and url_tokens (reference _fill_link_entity; both Discogs
     discogs_dump_extractor.py:506-514 and MusicBrainz
     musicbrainz_dump_extractor.py:597-603 share this shape). URL
     resolution (live HTTP probing) is the injected-I/O seam in
-    sources/remote.py — not part of the column program."""
-    parts = df.select(
-        F.col(id_col).alias("catalog_id"),
-        F.explode(clean_and_validate(F.col(url_col))).alias("url"),
-    )
+    sources/remote.py — not part of the column program.
+
+    Pass ``prevalidated=True`` when the url column already went through
+    clean+validate upstream — re-running the Arrow kernel over millions
+    of already-clean URLs doubles the Python cost for nothing."""
+    if prevalidated:
+        parts = df.select(
+            F.col(id_col).alias("catalog_id"), F.col(url_col).alias("url")
+        )
+    else:
+        parts = df.select(
+            F.col(id_col).alias("catalog_id"),
+            F.explode(clean_and_validate(F.col(url_col))).alias("url"),
+        )
     toks = url_tokens(F.array(F.col("url")))  # the UDF takes ARRAY<url>
     return parts.select(
         "catalog_id",
         "url",
         is_wiki_link(F.col("url")).alias("is_wiki"),
-        F.when(
-            toks.isNotNull() & (F.size(toks) > 0), F.array_join(toks, " ")
-        ).alias("url_tokens"),
+        _join_or_null(toks).alias("url_tokens"),
     )
 
 
@@ -194,13 +216,13 @@ def discogs_artist_tables(artists: DataFrame) -> dict[str, DataFrame]:
         F.col("namevariations.name").alias("_variations"),
         F.col("urls.url").alias("_urls"),
         "_is_musician",
-    ).cache()
+    )
 
     def main_plus_variations(side: DataFrame) -> DataFrame:
         main = side.select(
             "catalog_id",
             "name",
-            _joined_tokens(F.col("name"), "name").alias("name_tokens"),
+            _joined_tokens(F.col("name")).alias("name_tokens"),
             "real_name",
             "data_quality",
         )
@@ -216,7 +238,7 @@ def discogs_artist_tables(artists: DataFrame) -> dict[str, DataFrame]:
             .select(
                 "catalog_id",
                 "name",
-                _joined_tokens(F.col("name"), "name").alias("name_tokens"),
+                _joined_tokens(F.col("name")).alias("name_tokens"),
                 "real_name",
                 "data_quality",
             )
@@ -279,10 +301,7 @@ def discogs_master_tables(masters: DataFrame) -> dict[str, DataFrame]:
         F.col("title").alias("name"),
         _joined_tokens(F.col("title")).alias("name_tokens"),
         F.lower("data_quality").alias("data_quality"),
-        F.when(
-            genre_tokens.isNotNull() & (F.size(genre_tokens) > 0),
-            F.array_join(genre_tokens, " "),
-        ).alias("genres"),
+        _join_or_null(genre_tokens).alias("genres"),
         F.when(
             year_int.isNotNull(),
             F.try_to_date(F.concat(year_int.cast("string"), F.lit("-01-01"))),
@@ -329,6 +348,10 @@ def imdb_person_tables(people: DataFrame) -> dict[str, DataFrame]:
     ).withColumn("_profs", profs)
 
     mapping_items = sorted(IMDB_PROFESSIONS_MAPPING.items())
+    # all-literal create_map is CONSTANT-FOLDED by Catalyst (plan-verified:
+    # the executed plan carries one folded Literal MapData, not a per-row
+    # map(...) constructor) — unlike the interpreted-HOF literal-array
+    # rebuilds CLAUDE.md warns about
     prof_map = F.create_map(
         *[F.lit(x) for kv in mapping_items for x in kv]
     )
@@ -464,7 +487,7 @@ def musicbrainz_artist_tables(
         "id",
         F.col("gid").alias("catalog_id"),
         F.col("label").alias("name"),
-        _joined_tokens(F.col("label"), "name").alias("name_tokens"),
+        _joined_tokens(F.col("label")).alias("name_tokens"),
         born.alias("born"),
         born_prec.alias("born_precision"),
         died.alias("died"),
@@ -508,7 +531,7 @@ def musicbrainz_artist_tables(
             .select(
                 *[c for c in cols if c not in ("name", "name_tokens")],
                 F.col("_alias").alias("name"),
-                _joined_tokens(F.col("_alias"), "name").alias("name_tokens"),
+                _joined_tokens(F.col("_alias")).alias("name_tokens"),
             )
             .select(*cols)
         )
@@ -550,7 +573,8 @@ def musicbrainz_link_tables(
 
     def links(types: list[str]) -> DataFrame:
         return _link_table(
-            joined.filter(F.col("type_id").isin(types)), "gid", "url"
+            joined.filter(F.col("type_id").isin(types)), "gid", "url",
+            prevalidated=True,  # first_valid already ran clean+validate
         )
 
     return {
