@@ -54,6 +54,7 @@ Operator coverage map (SURVEY.md §2 -> query):
   S1-S3 MusicBrainz relational extraction flavor       -> musicbrainz_artist_flavor
   S1-S3 Discogs masters extraction flavor              -> discogs_master_flavor
   S1-S3 Discogs artists extraction flavor              -> discogs_artist_flavor
+  S1-S3 MusicBrainz url-link assembly flavor           -> musicbrainz_links_flavor
 
 The full record-linkage pipeline (blocking + features + classifier + CC
 clustering over the synthetic pages table) is exercised by the pytest suite
@@ -3444,6 +3445,122 @@ def _q_discogs_artist_flavor_sql() -> str:
 """
 
 
+def q_musicbrainz_links_flavor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MusicBrainz url->entity link assembly (sources/catalogs.py:
+    musicbrainz_link_tables) under the hash gate: one-entity-per-url-id
+    dedup (min entity id — the deterministic stand-in for the reference's
+    file-order 'first wins'), first clean+valid candidate per raw URL,
+    artist/band split, is_wiki, url_tokens — reference
+    musicbrainz_dump_extractor.py:263-363. The URL strings are
+    constrained to four deterministic shapes so the DuckDB oracle can
+    replicate the clean/validate/tokenize kernels' OUTPUT structurally
+    (the kernels themselves are parity-tested in tests/test_parity_urls
+    against the reference implementation); shape 2 is unparseable and
+    must vanish."""
+    from soweego_spark.sources.catalogs import musicbrainz_link_tables
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s = lambda c: c.cast("string")  # noqa: E731
+    artist = orders.select(
+        s(k).alias("id"),
+        F.concat(F.lit("mb-"), s(k)).alias("gid"),
+        s(k % 7).alias("type_id"),
+    )
+    l_artist_url = orders.select(
+        s(k).alias("entity_id"),
+        F.concat(F.lit("u"), s(k % 2000)).alias("url_id"),
+    )
+    uk = (F.col("o_orderkey") % 2000).alias("uk")
+    url = (
+        orders.select(uk)
+        .distinct()
+        .select(
+            F.concat(F.lit("u"), s(F.col("uk"))).alias("id"),
+            F.when(
+                F.col("uk") % 4 == 0,
+                F.concat(
+                    F.lit("https://www.wikidata.org/wiki/Q"),
+                    s(F.col("uk") % 997),
+                ),
+            )
+            .when(
+                F.col("uk") % 4 == 1,
+                F.concat(
+                    F.lit("https://site"), s(F.col("uk") % 50),
+                    F.lit(".example.org/page/"), s(F.col("uk") % 20),
+                ),
+            )
+            .when(F.col("uk") % 4 == 2, F.lit("gibberish no url"))
+            .otherwise(
+                F.concat(
+                    F.lit("https://tunes.fm/a"), s(F.col("uk") % 9)
+                )
+            )
+            .alias("url"),
+        )
+    )
+    t = musicbrainz_link_tables(artist, l_artist_url, url)
+    a = t["artist_links"].withColumn("side", F.lit("artist"))
+    b = t["band_links"].withColumn("side", F.lit("band"))
+    cols = ["side", "catalog_id", "url", "is_wiki", "url_tokens"]
+    return a.select(*cols).unionByName(b.select(*cols))
+
+
+_Q_MB_LINKS_FLAVOR_SQL = """
+    WITH uks AS (SELECT DISTINCT o_orderkey % 2000 AS uk FROM orders),
+    urls AS (
+        SELECT 'u' || uk::VARCHAR AS url_id,
+               CASE uk % 4
+                 WHEN 0 THEN 'https://www.wikidata.org/wiki/Q'
+                             || (uk % 997)::VARCHAR
+                 WHEN 1 THEN 'https://site' || (uk % 50)::VARCHAR
+                             || '.example.org/page/' || (uk % 20)::VARCHAR
+                 WHEN 3 THEN 'https://tunes.fm/a' || (uk % 9)::VARCHAR
+               END AS url,
+               -- the clean/validate/tokenize kernel output, replicated
+               -- structurally per URL shape (kernels parity-tested
+               -- elsewhere); shape 2 (uk%4=2) is invalid -> NULL url
+               CASE uk % 4 WHEN 0 THEN TRUE ELSE FALSE END AS is_wiki,
+               CASE uk % 4
+                 WHEN 0 THEN array_to_string(list_sort(
+                     ['Q' || (uk % 997)::VARCHAR, 'wiki', 'wikidata']), ' ')
+                 WHEN 1 THEN array_to_string(list_sort(list_distinct(
+                     list_concat(
+                         ['site' || (uk % 50)::VARCHAR, 'example', 'page'],
+                         CASE WHEN uk % 20 >= 10
+                              THEN [(uk % 20)::VARCHAR]
+                              ELSE []::VARCHAR[] END))), ' ')
+                 WHEN 3 THEN array_to_string(list_sort(
+                     ['a' || (uk % 9)::VARCHAR, 'tunes']), ' ')
+               END AS url_tokens
+        FROM uks
+    ),
+    one_entity AS (
+        SELECT 'u' || (o_orderkey % 2000)::VARCHAR AS url_id,
+               min(o_orderkey::VARCHAR) AS entity_id
+        FROM orders GROUP BY 1
+    ),
+    linked AS (
+        SELECT o.entity_id, u.url, u.is_wiki, u.url_tokens
+        FROM one_entity o JOIN urls u USING (url_id)
+        WHERE u.url IS NOT NULL
+    ),
+    joined AS (
+        SELECT 'mb-' || o_orderkey::VARCHAR AS catalog_id,
+               (o_orderkey % 7)::VARCHAR AS type_id,
+               l.url, l.is_wiki, l.url_tokens
+        FROM linked l JOIN orders
+          ON l.entity_id = o_orderkey::VARCHAR
+    )
+    SELECT 'artist' AS side, catalog_id, url, is_wiki, url_tokens
+    FROM joined WHERE type_id IN ('1', '4')
+    UNION ALL
+    SELECT 'band', catalog_id, url, is_wiki, url_tokens
+    FROM joined WHERE type_id IN ('2', '5', '6')
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_blocking_topk": q_token_blocking_topk,
@@ -3492,6 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "musicbrainz_artist_flavor": q_musicbrainz_artist_flavor,
         "discogs_master_flavor": q_discogs_master_flavor,
         "discogs_artist_flavor": q_discogs_artist_flavor,
+        "musicbrainz_links_flavor": q_musicbrainz_links_flavor,
         "mnm_entries": q_mnm_entries,
         "identifier_actions": q_identifier_actions,
     }
@@ -3559,6 +3677,7 @@ def _static_oracles() -> dict[str, str]:
         "musicbrainz_artist_flavor": _q_musicbrainz_artist_flavor_sql(),
         "discogs_master_flavor": _q_discogs_master_flavor_sql(),
         "discogs_artist_flavor": _q_discogs_artist_flavor_sql(),
+        "musicbrainz_links_flavor": _Q_MB_LINKS_FLAVOR_SQL,
         "mnm_entries": _Q_MNM_SQL,
         "identifier_actions": _Q_IDENT_ACTIONS_SQL,
     }

@@ -104,6 +104,7 @@ ROUND4_QUERIES = [
     "musicbrainz_artist_flavor",
     "discogs_master_flavor",
     "discogs_artist_flavor",
+    "musicbrainz_links_flavor",
 ]
 BENCH_QUERIES = BENCH_QUERIES + ROUND3_QUERIES + ROUND4_QUERIES
 
