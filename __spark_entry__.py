@@ -847,8 +847,12 @@ def q_incremental_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 perms / 8 bands (vs the operator defaults 64/16, which the
     # conservative incremental_neardup gate exercises): this fixture
     # carries 3x the docs, and banding cost is linear in num_perm — the
-    # exact-mode code path is identical, the gate runs ~2x faster in
-    # BOTH engines (the DuckDB replay generates num_perm min-columns)
+    # exact-mode code path is identical and the gate runs ~3x faster in
+    # the DuckDB replay (one min-column per permutation). Trade-off noted:
+    # 8 bands nominate ~89% of J=0.7 pairs vs ~99% at 16, so some
+    # transitive chains aren't exercised HERE — chain SEMANTICS are
+    # pinned deterministically by tests/test_dedup.py's guaranteed-
+    # collision chain test; this gate's job is cross-engine replication.
     kept = incremental_minhash_neardup(
         shingles(new_docs, n=3),
         shingles(corpus_docs, n=3),
