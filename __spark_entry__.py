@@ -2893,6 +2893,9 @@ def _imdb_people_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     birth = (
         F.when(k % 7 == 0, F.lit(None).cast("string"))
         .when(k % 11 == 0, F.lit("19??"))
+        # castable but unparseable (negative) year: date AND precision
+        # must both come out NULL (r5 ADVICE fix)
+        .when(k % 13 == 0, F.lit("-12"))
         .otherwise((F.lit(1900) + k % 90).cast("string"))
     )
     death = F.when(k % 5 == 0, (F.lit(1960) + k % 60).cast("string"))
@@ -2971,10 +2974,13 @@ def _q_imdb_person_flavor_sql() -> str:
         arms.append(f"""
         SELECT '{table}' AS person_table, catalog_id, name, name_tokens,
                gender, born, born_precision, died, died_precision,
-               CASE WHEN len(list_filter(qids, q -> q <> '{own}')) > 0
-                    THEN array_to_string(
-                        list_filter(qids, q -> q <> '{own}'), ' ')
-               END AS occupations
+               -- unconditional join: an empty filtered QID set stores
+               -- '' like the reference, not NULL (r5 ADVICE fix).
+               -- COALESCE because DuckDB's array_to_string([]) is NULL
+               -- where Spark's array_join([]) is ''
+               COALESCE(array_to_string(
+                   list_filter(qids, q -> q <> '{own}'), ' '), '')
+               AS occupations
         FROM enriched
         WHERE ({membership[table]}) OR misc_only""")
     union = "\n        UNION ALL".join(arms)
@@ -2984,6 +2990,7 @@ def _q_imdb_person_flavor_sql() -> str:
                c_name AS primaryName,
                CASE WHEN c_custkey % 7 = 0 THEN NULL
                     WHEN c_custkey % 11 = 0 THEN '19??'
+                    WHEN c_custkey % 13 = 0 THEN '-12'
                     ELSE (1900 + c_custkey % 90)::VARCHAR END AS birthYear,
                CASE WHEN c_custkey % 5 = 0
                     THEN (1960 + c_custkey % 60)::VARCHAR END AS deathYear,
@@ -3006,15 +3013,18 @@ def _q_imdb_person_flavor_sql() -> str:
                CASE WHEN list_contains(profs, 'actor') THEN 'male'
                     WHEN list_contains(profs, 'actress') THEN 'female'
                END AS gender,
-               CASE WHEN TRY_CAST(birthYear AS INT) IS NOT NULL
+               -- >= 1, not IS NOT NULL: Spark's try_to_date rejects
+               -- year 0 and negatives (DuckDB's make_date would not),
+               -- and precision is gated on the produced date
+               CASE WHEN TRY_CAST(birthYear AS INT) >= 1
                     THEN make_date(TRY_CAST(birthYear AS INT), 1, 1)
                END AS born,
-               CASE WHEN TRY_CAST(birthYear AS INT) IS NOT NULL
+               CASE WHEN TRY_CAST(birthYear AS INT) >= 1
                     THEN 9 END AS born_precision,
-               CASE WHEN TRY_CAST(deathYear AS INT) IS NOT NULL
+               CASE WHEN TRY_CAST(deathYear AS INT) >= 1
                     THEN make_date(TRY_CAST(deathYear AS INT), 1, 1)
                END AS died,
-               CASE WHEN TRY_CAST(deathYear AS INT) IS NOT NULL
+               CASE WHEN TRY_CAST(deathYear AS INT) >= 1
                     THEN 9 END AS died_precision,
                list_sort(list_distinct(list_filter(
                    [{qid_case} FOR p IN profs], q -> q IS NOT NULL
@@ -3249,6 +3259,8 @@ def q_discogs_master_flavor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("data_quality"),
         F.when(k % 9 == 0, F.lit(None).cast("string"))
         .when(k % 7 == 0, F.lit("c.1970"))
+        # castable but unparseable year: date AND precision both NULL
+        .when(k % 13 == 0, F.lit("-3"))
         .otherwise(s(F.lit(1900) + k % 120)).alias("year"),
         genres.alias("genres"),
         styles.alias("styles"),
@@ -3288,6 +3300,7 @@ def _q_discogs_master_flavor_sql() -> str:
                    (p_partkey % 3 + 1)::INT] AS data_quality,
                CASE WHEN p_partkey % 9 = 0 THEN NULL
                     WHEN p_partkey % 7 = 0 THEN 'c.1970'
+                    WHEN p_partkey % 13 = 0 THEN '-3'
                     ELSE (1900 + p_partkey % 120)::VARCHAR END AS year,
                CASE WHEN p_partkey % 11 <> 0
                     THEN [p_brand, 'Stage & Screen']
@@ -3308,9 +3321,11 @@ def _q_discogs_master_flavor_sql() -> str:
                    AS gtoks,
                CASE WHEN len(gtoks) > 0
                     THEN array_to_string(gtoks, ' ') END AS genres,
-               CASE WHEN TRY_CAST(year AS INT) IS NOT NULL
+               -- >= 1, not IS NOT NULL: Spark's try_to_date rejects
+               -- year 0 and negatives; precision gated on the date
+               CASE WHEN TRY_CAST(year AS INT) >= 1
                     THEN make_date(TRY_CAST(year AS INT), 1, 1) END AS born,
-               CASE WHEN TRY_CAST(year AS INT) IS NOT NULL
+               CASE WHEN TRY_CAST(year AS INT) >= 1
                     THEN 9 END AS born_precision,
                len(list_distinct(artist_ids))::BIGINT AS n_artists
         FROM raw
@@ -3461,13 +3476,17 @@ def q_musicbrainz_links_flavor(spark: SparkSession, sf_dir: str) -> DataFrame:
     musicbrainz_link_tables) under the hash gate: one-entity-per-url-id
     dedup (min entity id — the deterministic stand-in for the reference's
     file-order 'first wins'), first clean+valid candidate per raw URL,
-    artist/band split, is_wiki, url_tokens — reference
-    musicbrainz_dump_extractor.py:263-363. The URL strings are
-    constrained to four deterministic shapes so the DuckDB oracle can
+    per-cleaned-url dedup (the reference's url_entityid dict keyed by
+    cleaned URL string), artist/band split, is_wiki, url_tokens —
+    reference musicbrainz_dump_extractor.py:263-363. The URL strings are
+    constrained to eight deterministic shapes so the DuckDB oracle can
     replicate the clean/validate/tokenize kernels' OUTPUT structurally
     (the kernels themselves are parity-tested in tests/test_parity_urls
-    against the reference implementation); shape 2 is unparseable and
-    must vanish."""
+    against the reference implementation): shape 2 is unparseable and
+    must vanish; shape 4 exercises percent-decoded path tokens; shape 5
+    a scheme-less URL (validate prepends https://); shape 6 a multi-URL
+    cell whose first candidate is junk (clean splits, first VALID wins);
+    shape 7 a whitespace-padded cell (clean strips)."""
     from soweego_spark.sources.catalogs import musicbrainz_link_tables
 
     orders = _t(spark, sf_dir, "orders")
@@ -3489,20 +3508,48 @@ def q_musicbrainz_links_flavor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.concat(F.lit("u"), s(F.col("uk"))).alias("id"),
             F.when(
-                F.col("uk") % 4 == 0,
+                F.col("uk") % 8 == 0,
                 F.concat(
                     F.lit("https://www.wikidata.org/wiki/Q"),
                     s(F.col("uk") % 997),
                 ),
             )
             .when(
-                F.col("uk") % 4 == 1,
+                F.col("uk") % 8 == 1,
                 F.concat(
                     F.lit("https://site"), s(F.col("uk") % 50),
                     F.lit(".example.org/page/"), s(F.col("uk") % 20),
                 ),
             )
-            .when(F.col("uk") % 4 == 2, F.lit("gibberish no url"))
+            .when(F.col("uk") % 8 == 2, F.lit("gibberish no url"))
+            .when(
+                F.col("uk") % 8 == 4,
+                F.concat(
+                    F.lit("https://archive.example.net/item/big%20band%20"),
+                    s(F.lit(10) + F.col("uk") % 13),
+                ),
+            )
+            .when(
+                F.col("uk") % 8 == 5,
+                F.concat(
+                    F.lit("site"), s(F.col("uk") % 50),
+                    F.lit(".example.org/x/"), s(F.col("uk") % 20),
+                ),
+            )
+            .when(
+                F.col("uk") % 8 == 6,
+                F.concat(
+                    F.lit("gibberish https://multi.example.com/m"),
+                    s(F.col("uk") % 9),
+                ),
+            )
+            .when(
+                F.col("uk") % 8 == 7,
+                F.concat(
+                    F.lit("  https://plain.example.org/q"),
+                    s(F.col("uk") % 9), F.lit(" "),
+                ),
+            )
             .otherwise(
                 F.concat(
                     F.lit("https://tunes.fm/a"), s(F.col("uk") % 9)
@@ -3522,18 +3569,30 @@ _Q_MB_LINKS_FLAVOR_SQL = """
     WITH uks AS (SELECT DISTINCT o_orderkey % 2000 AS uk FROM orders),
     urls AS (
         SELECT 'u' || uk::VARCHAR AS url_id,
-               CASE uk % 4
+               -- the CLEANED url per shape: shape 5 gets https://
+               -- prepended by validate, 6 keeps its first VALID
+               -- candidate, 7 is stripped; shape 2 (uk%8=2) is invalid
+               -- -> NULL url
+               CASE uk % 8
                  WHEN 0 THEN 'https://www.wikidata.org/wiki/Q'
                              || (uk % 997)::VARCHAR
                  WHEN 1 THEN 'https://site' || (uk % 50)::VARCHAR
                              || '.example.org/page/' || (uk % 20)::VARCHAR
                  WHEN 3 THEN 'https://tunes.fm/a' || (uk % 9)::VARCHAR
+                 WHEN 4 THEN 'https://archive.example.net/item/big%20band%20'
+                             || (10 + uk % 13)::VARCHAR
+                 WHEN 5 THEN 'https://site' || (uk % 50)::VARCHAR
+                             || '.example.org/x/' || (uk % 20)::VARCHAR
+                 WHEN 6 THEN 'https://multi.example.com/m'
+                             || (uk % 9)::VARCHAR
+                 WHEN 7 THEN 'https://plain.example.org/q'
+                             || (uk % 9)::VARCHAR
                END AS url,
                -- the clean/validate/tokenize kernel output, replicated
                -- structurally per URL shape (kernels parity-tested
-               -- elsewhere); shape 2 (uk%4=2) is invalid -> NULL url
-               CASE uk % 4 WHEN 0 THEN TRUE ELSE FALSE END AS is_wiki,
-               CASE uk % 4
+               -- elsewhere)
+               CASE uk % 8 WHEN 0 THEN TRUE ELSE FALSE END AS is_wiki,
+               CASE uk % 8
                  WHEN 0 THEN array_to_string(list_sort(
                      ['Q' || (uk % 997)::VARCHAR, 'wiki', 'wikidata']), ' ')
                  WHEN 1 THEN array_to_string(list_sort(list_distinct(
@@ -3544,6 +3603,21 @@ _Q_MB_LINKS_FLAVOR_SQL = """
                               ELSE []::VARCHAR[] END))), ' ')
                  WHEN 3 THEN array_to_string(list_sort(
                      ['a' || (uk % 9)::VARCHAR, 'tunes']), ' ')
+                 -- %20 percent-decodes to spaces before \\W-splitting
+                 WHEN 4 THEN array_to_string(list_sort(
+                     ['archive', 'band', 'big', 'example', 'item',
+                      (10 + uk % 13)::VARCHAR]), ' ')
+                 -- path segment 'x' is length-1 -> dropped
+                 WHEN 5 THEN array_to_string(list_sort(list_distinct(
+                     list_concat(
+                         ['site' || (uk % 50)::VARCHAR, 'example'],
+                         CASE WHEN uk % 20 >= 10
+                              THEN [(uk % 20)::VARCHAR]
+                              ELSE []::VARCHAR[] END))), ' ')
+                 WHEN 6 THEN array_to_string(list_sort(
+                     ['example', 'm' || (uk % 9)::VARCHAR, 'multi']), ' ')
+                 WHEN 7 THEN array_to_string(list_sort(
+                     ['example', 'plain', 'q' || (uk % 9)::VARCHAR]), ' ')
                END AS url_tokens
         FROM uks
     ),
@@ -3553,9 +3627,15 @@ _Q_MB_LINKS_FLAVOR_SQL = """
         FROM orders GROUP BY 1
     ),
     linked AS (
-        SELECT o.entity_id, u.url, u.is_wiki, u.url_tokens
+        -- second dedup keyed by the CLEANED URL string (the reference's
+        -- url_entityid dict): one entity per distinct cleaned URL, min
+        -- entity as the deterministic stand-in for last-write-wins.
+        -- is_wiki/url_tokens are functions of the url, safe in GROUP BY
+        SELECT min(o.entity_id) AS entity_id,
+               u.url, u.is_wiki, u.url_tokens
         FROM one_entity o JOIN urls u USING (url_id)
         WHERE u.url IS NOT NULL
+        GROUP BY u.url, u.is_wiki, u.url_tokens
     ),
     joined AS (
         SELECT 'mb-' || o_orderkey::VARCHAR AS catalog_id,

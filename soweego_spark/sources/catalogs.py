@@ -295,6 +295,14 @@ def discogs_master_tables(masters: DataFrame) -> dict[str, DataFrame]:
     # kernel splits on non-word chars and dedups
     genre_tokens = _text_tokens_udf(F.array_join(both, " "))
     year_int = F.col("year").try_cast("int")
+    # precision is gated on the PRODUCED DATE being valid, not just the
+    # year casting — a castable-but-unparseable year (e.g. negative)
+    # must suppress both, like the reference (datetime.date raises and
+    # the row's date fields stay unset) and like _mb_date_and_precision
+    born_date = F.when(
+        year_int.isNotNull(),
+        F.try_to_date(F.concat(year_int.cast("string"), F.lit("-01-01"))),
+    )
     masters_tbl = masters.filter(F.col("id").isNotNull()).select(
         F.col("id").alias("catalog_id"),
         F.col("main_release").alias("main_release_id"),
@@ -302,11 +310,8 @@ def discogs_master_tables(masters: DataFrame) -> dict[str, DataFrame]:
         _joined_tokens(F.col("title")).alias("name_tokens"),
         F.lower("data_quality").alias("data_quality"),
         _join_or_null(genre_tokens).alias("genres"),
-        F.when(
-            year_int.isNotNull(),
-            F.try_to_date(F.concat(year_int.cast("string"), F.lit("-01-01"))),
-        ).alias("born"),
-        F.when(year_int.isNotNull(), F.lit(9)).alias("born_precision"),
+        born_date.alias("born"),
+        F.when(born_date.isNotNull(), F.lit(9)).alias("born_precision"),
     )
     rels = (
         masters.filter(F.col("id").isNotNull())
@@ -378,7 +383,16 @@ def imdb_person_tables(people: DataFrame) -> dict[str, DataFrame]:
                      F.lit("-01-01"))
         ),
     )
-    base = base.withColumn("_qids", qids).withColumn("_gender", gender)
+    base = (
+        base.withColumn("_qids", qids)
+        .withColumn("_gender", gender)
+        # materialize the dates once so precision can be gated on the
+        # produced date's validity (castable-but-unparseable years, e.g.
+        # negative ones, must suppress BOTH date and precision — the
+        # reference's datetime.date() raises on them)
+        .withColumn("_born", year_date("birthYear"))
+        .withColumn("_died", year_date("deathYear"))
+    )
 
     misc_only = (F.size("_profs") == 1) & (
         F.element_at("_profs", 1) == "miscellaneous"
@@ -405,14 +419,17 @@ def imdb_person_tables(people: DataFrame) -> dict[str, DataFrame]:
                 F.col("primaryName").alias("name"),
                 _joined_tokens(F.col("primaryName")).alias("name_tokens"),
                 F.col("_gender").alias("gender"),
-                year_date("birthYear").alias("born"),
-                F.when(F.col("birthYear").try_cast("int").isNotNull(),
-                       F.lit(9)).alias("born_precision"),
-                year_date("deathYear").alias("died"),
-                F.when(F.col("deathYear").try_cast("int").isNotNull(),
-                       F.lit(9)).alias("died_precision"),
-                F.when(F.size(occ) > 0, F.array_join(occ, " "))
-                .alias("occupations"),
+                F.col("_born").alias("born"),
+                F.when(F.col("_born").isNotNull(), F.lit(9))
+                .alias("born_precision"),
+                F.col("_died").alias("died"),
+                F.when(F.col("_died").isNotNull(), F.lit(9))
+                .alias("died_precision"),
+                # the reference assigns ' '.join(...) UNCONDITIONALLY
+                # (imdb_dump_extractor.py:391-396): an empty filtered QID
+                # set stores '', not NULL — unlike the *_tokens columns,
+                # which go through the skipped-assignment contract
+                F.array_join(occ, " ").alias("occupations"),
             )
         )
     out["person_movie_relationships"] = (
@@ -553,10 +570,13 @@ def musicbrainz_link_tables(
 
     ``l_artist_url`` columns: entity_id (the artist's internal id),
     url_id. ``url``: id, url. The reference's dict-based pass keeps one
-    entity per url id ("first in file wins") and the first clean+valid
-    candidate per raw URL; file order is undefined on a distributed
-    read, so we keep the MIN entity id — same cardinality, deterministic
-    — and the first candidate from the (ordered) clean list."""
+    entity per url id ("first in file wins"), the first clean+valid
+    candidate per raw URL, and — because its final accumulator is keyed
+    by the CLEANED URL STRING (``url_entityid[candidate_url] = ...``,
+    musicbrainz_dump_extractor.py:310) — one entity per distinct cleaned
+    URL even when two url ids clean to the same string. File order is
+    undefined on a distributed read, so both "wins" become MIN — same
+    cardinality, deterministic."""
     one_entity = l_artist_url.groupBy("url_id").agg(
         F.min("entity_id").alias("entity_id")
     )
@@ -564,8 +584,13 @@ def musicbrainz_link_tables(
         F.col("id").alias("url_id"),
         F.element_at(clean_and_validate(F.col("url")), 1).alias("_url"),
     ).filter(F.col("_url").isNotNull())
-    linked = one_entity.join(first_valid, "url_id").select(
-        F.col("entity_id").alias("id"), F.col("_url").alias("url")
+    linked = (
+        one_entity.join(first_valid, "url_id")
+        # second dedup, keyed by the cleaned URL string: the reference's
+        # url_entityid dict holds exactly one entity per cleaned URL
+        .groupBy("_url")
+        .agg(F.min("entity_id").alias("entity_id"))
+        .select(F.col("entity_id").alias("id"), F.col("_url").alias("url"))
     )
     joined = linked.join(
         artist.select("id", "gid", "type_id"), "id"

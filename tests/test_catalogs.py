@@ -179,13 +179,14 @@ def test_imdb_person_tables_semantics(spark):
         ids = {r["catalog_id"] for r in t[table].collect()}
         assert "nm3" in ids, table     # misc-only lands everywhere
         assert "nm4" not in ids, table # no professions -> skipped
-    # misc maps to no QID -> occupations NULL
-    assert actors["nm3"]["occupations"] is None
+    # misc maps to no QID -> occupations '' (the reference's
+    # unconditional ' '.join stores the empty string, not NULL)
+    assert actors["nm3"]["occupations"] == ""
     assert actors["nm3"]["gender"] is None
 
     w = {r["catalog_id"]: r for r in t["writers"].collect()}["nm2"]
     assert w["born"] is None and w["born_precision"] is None
-    assert w["occupations"] is None  # writer QID excluded -> empty
+    assert w["occupations"] == ""  # writer QID excluded -> empty string
 
     rels = {(r["from_catalog_id"], r["to_catalog_id"])
             for r in t["person_movie_relationships"].collect()}
