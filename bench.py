@@ -175,6 +175,34 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     ann_recall = ivf_recall_at_k(emb, emb.filter(F.col("vec_id") < 50), k=10)
 
+    # Golden-sample parity (round 5): 5-fold NB/LR over the reference's
+    # OWN frozen IMDb fixtures through the real linker path
+    # (plans/golden.py). Published full-data anchors (docs/evaluations.
+    # rst:78-87): NB F1 director .932, musician .924, producer .918,
+    # writer .935 (actor: TODO in the reference). The 2,467-person sample
+    # target is a much easier negative pool than full IMDb, so sample
+    # scores sit ABOVE those anchors — quality numbers, not wall numbers.
+    golden_eval = {}
+    try:
+        from soweego_spark.plans import golden as golden_mod
+
+        if os.path.isdir(golden_mod.SAMPLES_DIR):
+            t0 = time.time()
+            for prof in golden_mod.PROFESSIONS:
+                r = golden_mod.evaluate_golden(
+                    spark, prof, classifiers=["naive_bayes", "logistic"]
+                )
+                golden_eval[prof] = {
+                    "pairs": r["pairs"],
+                    "positives": r["positives"],
+                    "nb_f1": round(r["naive_bayes"]["f1"], 4),
+                    "nb_f1_std": round(r["naive_bayes"]["f1_std"], 4),
+                    "lr_f1": round(r["logistic"]["f1"], 4),
+                }
+            golden_eval["wall_seconds"] = round(time.time() - t0, 2)
+    except Exception as exc:  # pragma: no cover — samples dir optional
+        golden_eval = {"error": str(exc)[:200]}
+
     total = sum(warm.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -208,6 +236,7 @@ def main() -> None:
                 "er_docs_per_sec": round(n_docs / er_secs, 1),
                 "er_f1": round(er_f1, 4),
                 "ann_recall_at_10": round(ann_recall, 4),
+                "golden_imdb_5fold": golden_eval,
                 "cpus": CPUS,
             }
         )
