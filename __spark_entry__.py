@@ -844,15 +844,13 @@ def q_incremental_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_docs = docs.filter(F.col("doc_id") % 2 == 0).select(
         "doc_id", "text"
     )
-    # 32 perms / 8 bands (vs the operator defaults 64/16, which the
-    # conservative incremental_neardup gate exercises): this fixture
+    # 32 perms / 8 bands (vs the operator defaults 64/16, gated at
+    # sf0.01 by incremental_neardup_exact_full below): this fixture
     # carries 3x the docs, and banding cost is linear in num_perm — the
     # exact-mode code path is identical and the gate runs ~3x faster in
-    # the DuckDB replay (one min-column per permutation). Trade-off noted:
-    # 8 bands nominate ~89% of J=0.7 pairs vs ~99% at 16, so some
-    # transitive chains aren't exercised HERE — chain SEMANTICS are
-    # pinned deterministically by tests/test_dedup.py's guaranteed-
-    # collision chain test; this gate's job is cross-engine replication.
+    # the DuckDB replay (one min-column per permutation). 8 bands
+    # nominate ~89% of J=0.7 pairs vs ~99% at 16; the _full gate closes
+    # that chain-coverage gap at the driver's sf.
     kept = incremental_minhash_neardup(
         shingles(new_docs, n=3),
         shingles(corpus_docs, n=3),
@@ -861,6 +859,59 @@ def q_incremental_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=8,
         hash_family="md5",
         within_batch="exact",
+    )
+    return kept.select("doc_id")
+
+
+def q_incremental_neardup_exact_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same exact-mode fixture at the OPERATOR DEFAULTS (64 perms /
+    16 bands — ~99% nomination of J=0.7 pairs, so the transitive chains
+    the trimmed 32/8 gate can miss are exercised cross-engine), AND with
+    ``max_component_edges=0`` so every component resolves through the r5
+    distributed local-minima JOIN rounds — the DuckDB recursive CTE
+    replays that algorithm verbatim, making this the join path's own
+    hash gate (the default per-component pandas path keeps the original
+    incremental_neardup_exact gate)."""
+    from soweego_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != F.lit(""))
+    base = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", words.alias("w")
+    )
+    parts = []
+    for off, frac in ((0, None), (1, 0.8), (2, 0.64)):
+        if frac is None:
+            n_words = F.size("w")
+        else:
+            n_words = F.greatest(
+                F.floor(F.size("w") * F.lit(frac)).cast("int"), F.lit(3)
+            )
+        parts.append(
+            base.select(
+                (F.lit(1_000_000) + F.col("doc_id") * 10 + F.lit(off))
+                .alias("doc_id"),
+                F.array_join(F.slice("w", 1, n_words), " ").alias("text"),
+            )
+        )
+    new_docs = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    corpus_docs = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text"
+    )
+    kept = incremental_minhash_neardup(
+        shingles(new_docs, n=3),
+        shingles(corpus_docs, n=3),
+        jaccard_threshold=0.7,
+        num_perm=64,
+        bands=16,
+        hash_family="md5",
+        within_batch="exact",
+        max_component_edges=0,
     )
     return kept.select("doc_id")
 
@@ -3696,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_metrics": q_cluster_metrics,
         "incremental_neardup": q_incremental_neardup,
         "incremental_neardup_exact": q_incremental_neardup_exact,
+        "incremental_neardup_exact_full": q_incremental_neardup_exact_full,
         "imdb_person_flavor": q_imdb_person_flavor,
         "musicbrainz_artist_flavor": q_musicbrainz_artist_flavor,
         "discogs_master_flavor": q_discogs_master_flavor,
@@ -3764,6 +3816,9 @@ def _static_oracles() -> dict[str, str]:
         "cluster_metrics": _Q_CLUSTER_METRICS_SQL,
         "incremental_neardup": _q_incremental_sql(),
         "incremental_neardup_exact": _q_incremental_exact_sql(),
+        "incremental_neardup_exact_full": _q_incremental_exact_sql(
+            num_perm=64, bands=16
+        ),
         "imdb_person_flavor": _q_imdb_person_flavor_sql(),
         "musicbrainz_artist_flavor": _q_musicbrainz_artist_flavor_sql(),
         "discogs_master_flavor": _q_discogs_master_flavor_sql(),

@@ -8,7 +8,12 @@ subprocess) and reporting throughput at both plus scaling efficiency
   eff = T_N / (4 * T_4N)  (= throughput_4N / (4 * throughput_N)).
 
 Usage: python scripts/scaling_bench.py [n_entities] [N]
-Writes/updates BENCH_SCALING.md and prints one JSON line.
+       python scripts/scaling_bench.py --queries q1 q2 ... [--n N]
+                                       [--runs R] [--sf-dir DIR]
+The default mode measures the flagship pipeline and REWRITES
+BENCH_SCALING.md; --queries measures named __spark_entry__ queries
+(fresh JVM per run, interleaved between sizes, median of R warm runs)
+and APPENDS a per-query section. Prints one JSON line either way.
 """
 
 from __future__ import annotations
@@ -64,6 +69,28 @@ spark.stop()
 """
 
 
+QUERY_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as entry_mod
+from soweego_spark.session import get_spark
+
+name, cores, sf_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+spark = get_spark(cpus=cores, app_name=f"scaling-q-{{cores}}",
+                  shuffle_partitions=2 * cores)
+spark.sparkContext.setLogLevel("ERROR")
+q = entry_mod.queries()[name]
+secs = None
+for run in range(2):  # warm protocol: report run 2, cache cleared
+    spark.catalog.clearCache()
+    t0 = time.time()
+    q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    secs = time.time() - t0
+print("RESULT " + json.dumps(dict(cores=cores, seconds=round(secs, 2))))
+spark.stop()
+"""
+
+
 def _child(code: str, *args: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", code, *args],
@@ -85,7 +112,89 @@ def hw_probe(cores: int) -> dict:
     return _child(HW_CHILD, str(cores))
 
 
+def query_scaling(
+    names: list[str], n: int, runs: int, sf_dir: str
+) -> None:
+    """Per-query N vs 4N rows (the heavy operators the flagship table
+    doesn't cover): fresh JVM per run, warm protocol inside each JVM,
+    runs INTERLEAVED between the two sizes, medians of ``runs``, with
+    the same same-session hardware probe normalization."""
+    import statistics
+
+    hw_small = hw_probe(n)
+    hw_big = hw_probe(4 * n)
+    hw_speedup = hw_small["secs"] / hw_big["secs"]
+    results = {}
+    samples: dict[tuple[str, int], list[float]] = {
+        (q, c): [] for q in names for c in (n, 4 * n)
+    }
+    for _ in range(runs):
+        for q in names:
+            for cores in (n, 4 * n):  # interleave sizes per house rule
+                r = _child(
+                    QUERY_CHILD.format(repo=REPO), q, str(cores), sf_dir
+                )
+                samples[(q, cores)].append(r["seconds"])
+    lines = []
+    for q in names:
+        t_n = statistics.median(samples[(q, n)])
+        t_4n = statistics.median(samples[(q, 4 * n)])
+        eff = t_n / (4.0 * t_4n)
+        norm = (t_n / t_4n) / hw_speedup if hw_speedup else 0.0
+        results[q] = {
+            f"median_s_{n}c": round(t_n, 2),
+            f"median_s_{4*n}c": round(t_4n, 2),
+            "runs_small": samples[(q, n)],
+            "runs_big": samples[(q, 4 * n)],
+            "raw_efficiency": round(eff, 3),
+            "hw_normalized_efficiency": round(norm, 3),
+        }
+        lines.append(
+            f"| {q} | {round(t_n, 1)} | {round(t_4n, 1)} "
+            f"| {eff:.3f} | {norm:.3f} |"
+        )
+    out = {
+        "mode": "queries",
+        "sf_dir": sf_dir,
+        "hw_probe": {"small": hw_small, "big": hw_big,
+                     "speedup": round(hw_speedup, 3)},
+        "queries": results,
+    }
+    print(json.dumps(out))
+    md = (
+        f"\n## Per-query scaling (N={n} vs 4N={4 * n}, {sf_dir}, "
+        f"medians of {runs} interleaved fresh-JVM warm runs)\n\n"
+        f"Same protocol as the flagship table; hardware probe this "
+        f"session: {n}c {hw_small['secs']}s -> {4 * n}c "
+        f"{hw_big['secs']}s (speedup {hw_speedup:.2f}x, ceiling "
+        f"{hw_speedup / 4:.3f}).\n\n"
+        f"| query | median s @{n}c | median s @{4 * n}c | raw eff "
+        f"| hw-normalized eff |\n|---|---|---|---|---|\n"
+        + "\n".join(lines) + "\n"
+    )
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as fh:
+        fh.write(md)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--queries":
+        args = sys.argv[2:]
+        names, n, runs = [], 2, 3
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        it = iter(args)
+        for a in it:
+            if a == "--n":
+                n = int(next(it))
+            elif a == "--runs":
+                runs = int(next(it))
+            elif a == "--sf-dir":
+                sf_dir = next(it)
+            else:
+                names.append(a)
+        query_scaling(names, n, runs, sf_dir)
+        return
     n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     hw_small = hw_probe(n)

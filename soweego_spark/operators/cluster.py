@@ -43,7 +43,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     grouped = sym.groupBy("u").agg(
         F.collect_set("v").alias("nbrs"),
     )
-    m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u"))))
+    # m MUST be materialized in a projection BELOW the explode: referenced
+    # directly in the explode's select it is re-evaluated per OUTPUT row,
+    # and array_min(array_union(...)) is O(degree) — on a degree-d node
+    # that is O(d²) work (a planted 100k-degree star burned ~3 min of CPU
+    # in one task; with the pre-projection the same graph clusters in
+    # seconds). Same per-row-rebuild family as CLAUDE.md's literal-array
+    # note, but on a data column.
+    grouped = grouped.withColumn(
+        "m", F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u"))))
+    )
     # No .distinct() here: the next phase's groupBy/collect_set dedups
     # anyway, and dropping it removes one full shuffle per iteration (the
     # duplicate multiplicity is bounded by node degree). Measured ~2x on
@@ -52,7 +61,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
         F.explode(
             F.filter(F.col("nbrs"), lambda v: v > F.col("u"))
         ).alias("src"),
-        m.alias("dst"),
+        F.col("m").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
 
 
@@ -62,13 +71,17 @@ def _small_star(edges: DataFrame) -> DataFrame:
         F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
     )
     grouped = directed.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-    m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u"))))
+    # same pre-projection as _large_star: never evaluate the O(degree)
+    # min under the explode (quadratic per-output-row re-evaluation)
+    grouped = grouped.withColumn(
+        "m", F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u"))))
+    )
     # Same no-distinct rationale as _large_star.
     return grouped.select(
         F.explode(
             F.array_union(F.col("nbrs"), F.array(F.col("u")))
         ).alias("src"),
-        m.alias("dst"),
+        F.col("m").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
 
 

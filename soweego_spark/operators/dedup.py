@@ -519,6 +519,23 @@ def fingerprint_neardup(
     )
 
 
+def content_keys(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The ~192-bit exact-dedup content key (xxhash64 + md5 + length) of
+    each document, deduped — the rows a pipeline unions into its
+    persisted seen-key table. Exposed separately from
+    :func:`incremental_exact_dedup` because a production loop folds in
+    the keys of the docs that survive ALL dedup stages (a near-dup
+    dropped later must not poison the seen table), not the keys of the
+    exact-stage survivors."""
+    return docs.select(
+        F.struct(
+            F.xxhash64(F.col(text_col)).alias("h"),
+            F.md5(F.col(text_col).cast("binary")).alias("m"),
+            F.length(F.col(text_col)).alias("n"),
+        ).alias("content_key")
+    ).distinct()
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     seen: DataFrame | None,
@@ -571,6 +588,7 @@ def incremental_minhash_neardup(
     hash_family: str = "xxhash64",
     corpus_banded: DataFrame | None = None,
     within_batch: bool | str = True,
+    max_component_edges: int = 1_000_000,
 ) -> DataFrame:
     """Continuous-ingestion NEAR-dedup: drop new documents whose exact
     token Jaccard against ANY corpus document reaches the threshold,
@@ -595,10 +613,11 @@ def incremental_minhash_neardup(
       (corpus-dropped docs are removed first; on the chain above, C is
       kept because its only dup B was itself dropped). Implemented
       distributed: connected components over the confirmed in-batch pair
-      graph, then a per-component greedy pass in ``applyInPandas`` —
-      per-component work is bounded by component size (band caps bound
-      bucket fan-out, but adversarial chains can still elongate
-      components; prefer conservative when that risk matters).
+      graph, components ≤ ``max_component_edges`` resolved by a
+      per-component greedy pass in ``applyInPandas`` (memory bounded by
+      the cap), larger components — e.g. a templated-spam mega-cluster —
+      by iterated local-minima accept/drop JOIN rounds that never
+      materialize a graph in one task (see _greedy_component_drops).
 
     Returns the kept rows of ``new_toks``. Pass ``corpus_banded`` (the
     persisted output of ``band_keys(minhash_signatures(corpus))``) to
@@ -718,19 +737,40 @@ def incremental_minhash_neardup(
         "left_anti",
     ).localCheckpoint()
     dup_ids = corpus_dropped.unionByName(
-        _greedy_component_drops(edges)
+        _greedy_component_drops(
+            edges, max_component_edges=max_component_edges
+        )
     ).distinct()
     return new_toks.join(dup_ids, "doc_id", "left_anti")
 
 
-def _greedy_component_drops(edges: DataFrame) -> DataFrame:
+def _greedy_component_drops(
+    edges: DataFrame, max_component_edges: int = 1_000_000
+) -> DataFrame:
     """Confirmed in-batch dup edges (doc_id, other_id) -> the ids dropped
     by SEQUENTIAL-GREEDY dedup in ascending id order: a doc is dropped iff
-    a neighbor with smaller id was itself kept. Distributed as connected
-    components over the edge graph + one ``applyInPandas`` greedy pass per
-    component (the greedy decision chain never crosses a component
-    boundary). Per-task memory is bounded by the largest component's edge
-    count; isolated docs never enter the graph and are trivially kept.
+    a neighbor with smaller id was itself kept (= the complement of the
+    lexicographically-first maximal independent set, which is P-complete
+    in general — every implementation trades rounds against per-task
+    memory somewhere).
+
+    Hybrid routing by component size, because the two pathologies are
+    DISJOINT graph shapes:
+
+    * components with ≤ ``max_component_edges`` edges run the
+      per-component ``applyInPandas`` greedy — one task scan handles an
+      arbitrarily LONG dependency chain (the round-pathological shape)
+      with memory bounded by the cap (~100 MB of id pairs at the 1M
+      default);
+    * components ABOVE the cap (the templated-spam mega-cluster that
+      would OOM a single task) run :func:`_greedy_drops_joins` — iterated
+      local-minima accept/drop rounds in pure joins, which never
+      materialize a graph per task and converge in few rounds exactly
+      when components are big-because-DENSE (round 1 accepts the minima
+      and drops their whole neighborhoods). The doubly-adversarial shape
+      — a >cap-edge component that is also a >many-round chain — stays
+      correct but pays one bounded shuffle round per greedy wavefront
+      step (inherent: lex-first MIS is P-complete).
 
     Checkpoint hygiene for per-batch ingestion loops: the CC call runs
     with ``release_checkpoint=True`` so its converged edge set is released
@@ -746,6 +786,15 @@ def _greedy_component_drops(edges: DataFrame) -> DataFrame:
     from soweego_spark.operators.cluster import connected_components
 
     id_type = edges.schema["doc_id"].dataType
+    if max_component_edges <= 0:
+        # every component would route to the join rounds — skip the CC
+        # pass entirely (used by the cross-engine gate and available as
+        # a pure-join mode for callers that want no applyInPandas at all)
+        return _greedy_drops_joins(
+            edges.select(
+                F.col("doc_id").alias("a"), F.col("other_id").alias("b")
+            )
+        )
     comp = connected_components(
         edges, src="doc_id", dst="other_id", release_checkpoint=True
     )
@@ -756,6 +805,14 @@ def _greedy_component_drops(edges: DataFrame) -> DataFrame:
         F.col("doc_id").alias("a"),
         F.col("other_id").alias("b"),
     )
+    sizes = ec.groupBy("cluster_id").agg(F.count("*").alias("n_edges"))
+    over = sizes.filter(F.col("n_edges") > max_component_edges).select(
+        "cluster_id"
+    )
+    # the over-cap component list is tiny by construction (each one holds
+    # >cap edges) — broadcast the anti/semi probes
+    small = ec.join(F.broadcast(over), "cluster_id", "left_anti")
+    big = ec.join(F.broadcast(over), "cluster_id", "left_semi")
 
     def per_comp(pdf: pd.DataFrame) -> pd.DataFrame:
         adj: dict = {}
@@ -771,6 +828,80 @@ def _greedy_component_drops(edges: DataFrame) -> DataFrame:
                 kept.add(node)
         return pd.DataFrame({"doc_id": dropped})
 
-    return ec.groupBy("cluster_id").applyInPandas(
+    small_drops = small.groupBy("cluster_id").applyInPandas(
         per_comp, schema=StructType([StructField("doc_id", id_type)])
     )
+    return small_drops.unionByName(
+        _greedy_drops_joins(big.select("a", "b"))
+    )
+
+
+def _greedy_drops_joins(edges: DataFrame) -> DataFrame:
+    """Sequential-greedy drops via iterated local-minima rounds in pure
+    DataFrame joins — the distributed mirror of the DuckDB recursive-CTE
+    oracle that replays this operator (__spark_entry__._q_incremental_
+    exact_sql): per round, ACCEPT every vertex smaller than all its
+    remaining neighbors (its smaller neighbors are, inductively, all
+    dropped — greedy keeps it), DROP the accepted vertices' neighbors
+    (they have a kept smaller neighbor), delete both sets from the graph
+    and repeat until no edges remain. Vertices that merely become
+    isolated exit as KEPT (their dup partners were all dropped).
+
+    Memory per task is one shuffle partition of id pairs — no component
+    graph is ever materialized. Rounds are bounded by the longest greedy
+    dependency chain. State is ONE id-pair frame per round — remaining
+    edges plus a NULL-marked row per already-DROPPED vertex (markers
+    accumulate the answer; accepted vertices and vertices whose last
+    neighbor was dropped simply exit the graph as kept) —
+    localCheckpointed once per round with the previous round's pin
+    released, so lineage, storage, and job count stay flat however many
+    rounds run (2 jobs/round: the emptiness probe and the checkpoint).
+    """
+    from soweego_spark.operators.cluster import _unpersist_checkpoint
+
+    edges = edges.select("a", "b").localCheckpoint()
+    null_b = F.lit(None).cast(edges.schema["b"].dataType).alias("b")
+    # state rows: (a, b) = remaining edge; (v, NULL) = dropped vertex
+    state = edges
+    prev = None
+    while True:
+        cur = state.filter(F.col("b").isNotNull())
+        if cur.isEmpty():
+            break
+        bi = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        accepted = (
+            bi.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .filter(F.col("a") < F.col("mn"))
+            .select(F.col("a").alias("v"))
+        )
+        dropped = (
+            bi.join(accepted.withColumnRenamed("v", "a"), "a")
+            .select(F.col("b").alias("v"))
+            .distinct()
+        )
+        decided = accepted.unionByName(dropped)
+        nxt = (
+            cur.join(decided.withColumnRenamed("v", "a"), "a", "left_anti")
+            .join(decided.withColumnRenamed("v", "b"), "b", "left_anti")
+            .select("a", "b")
+        )
+        state = (
+            nxt.unionByName(
+                state.filter(F.col("b").isNull()).select("a", "b")
+            )
+            .unionByName(dropped.select(F.col("v").alias("a"), null_b))
+            .localCheckpoint()
+        )
+        if prev is not None:
+            _unpersist_checkpoint(prev)
+        prev = state
+    out = state.filter(F.col("b").isNull()).select(
+        F.col("a").alias("doc_id")
+    )
+    # the final state + input edges stay pinned until the caller consumes
+    # `out` (id-only rows, bounded by dropped-vertex count) — same budget
+    # class as the other exact-mode id tables
+    return out

@@ -496,3 +496,96 @@ def test_exact_mode_bounds_pinned_checkpoints(spark):
     ).collect()
     after = jsc.getPersistentRDDs().size()
     assert after <= before + 3, (before, after)
+
+
+def test_greedy_drops_joins_equivalence(spark):
+    """The r5 distributed greedy: on random graphs, the pure-join
+    local-minima rounds, the per-component pandas pass, and a Python
+    sequential-greedy oracle all produce the identical drop set."""
+    import random
+
+    from soweego_spark.operators.dedup import _greedy_component_drops
+
+    rng = random.Random(610)
+    for trial in range(3):
+        n = 60
+        edge_set = set()
+        for _ in range(120):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edge_set.add((max(a, b), min(a, b)))
+        adj: dict = {}
+        for a, b in edge_set:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        kept, dropped = set(), set()
+        for v in sorted(adj):
+            if adj[v] & kept:
+                dropped.add(v)
+            else:
+                kept.add(v)
+        edges = spark.createDataFrame(
+            sorted(edge_set), "doc_id long, other_id long"
+        )
+        for cap in (0, 10**6):  # 0 = force joins path, 1e6 = pandas path
+            got = _greedy_component_drops(edges, max_component_edges=cap)
+            assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+                dropped
+            ), (trial, cap)
+
+
+def test_greedy_chain_joins_path(spark):
+    """Ascending chain — the round-pathological shape — through the joins
+    path: greedy keeps evens, drops odds (0 kept, 1 dropped, 2 kept...)."""
+    from pyspark.sql import functions as F
+
+    from soweego_spark.operators.dedup import _greedy_component_drops
+
+    n = 21
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(n - 1)], "doc_id long, other_id long"
+    )
+    drops = _greedy_component_drops(edges, max_component_edges=0)
+    assert sorted(r["doc_id"] for r in drops.collect()) == list(
+        range(1, n, 2)
+    )
+
+
+def test_greedy_mega_component_joins_path(spark):
+    """The r4 weak item's done-criterion: a planted 100k-doc SINGLE
+    component (star around doc 0 — the templated-spam shape) resolves
+    through the join rounds with the component cap far below its size,
+    so no task ever materializes the component graph; greedy keeps the
+    center and drops every leaf in one accept/drop round."""
+    from pyspark.sql import functions as F
+
+    from soweego_spark.operators.dedup import _greedy_component_drops
+
+    edges = (
+        spark.range(1, 100_001)
+        .select(F.col("id").alias("doc_id"), F.lit(0).alias("other_id"))
+    )
+    drops = _greedy_component_drops(edges, max_component_edges=1_000)
+    assert drops.count() == 100_000
+    assert drops.filter("doc_id = 0").count() == 0
+
+
+def test_incremental_exact_mode_joins_path_end_to_end(spark):
+    """within_batch='exact' with the component cap at 0 (every component
+    through the join rounds) reproduces the chain contract: B dropped
+    (dup of kept A), C kept (its only dup B was dropped)."""
+    from soweego_spark.operators.dedup import incremental_minhash_neardup
+
+    base = [f"tok{i}" for i in range(10)]
+    a = base
+    b = base[1:] + ["bb"]
+    c = base[2:] + ["bb", "cc"]
+    new = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, tokens array<string>"
+    )
+    corpus = spark.createDataFrame([], "doc_id long, tokens array<string>")
+    exact = incremental_minhash_neardup(
+        new, corpus, jaccard_threshold=0.7, within_batch="exact",
+        max_component_edges=0,
+    )
+    assert sorted(r["doc_id"] for r in exact.collect()) == [1, 3]
