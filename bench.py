@@ -106,7 +106,14 @@ ROUND4_QUERIES = [
     "discogs_artist_flavor",
     "musicbrainz_links_flavor",
 ]
-BENCH_QUERIES = BENCH_QUERIES + ROUND3_QUERIES + ROUND4_QUERIES
+ROUND5_QUERIES = [
+    # exact-mode dedup at the 64/16 operator defaults, forced through
+    # the distributed local-minima join rounds (the r5 scale path)
+    "incremental_neardup_exact_full",
+]
+BENCH_QUERIES = (
+    BENCH_QUERIES + ROUND3_QUERIES + ROUND4_QUERIES + ROUND5_QUERIES
+)
 
 
 def _run_noop(df) -> None:
@@ -215,12 +222,14 @@ def main() -> None:
                 "shared_r2_wall_seconds": round(
                     sum(v for k, v in warm.items()
                         if k not in ROUND3_QUERIES
-                        and k not in ROUND4_QUERIES), 2
+                        and k not in ROUND4_QUERIES
+                        and k not in ROUND5_QUERIES), 2
                 ),
                 "shared_r2_wall_cold_seconds": round(
                     sum(v for k, v in cold.items()
                         if k not in ROUND3_QUERIES
-                        and k not in ROUND4_QUERIES), 2
+                        and k not in ROUND4_QUERIES
+                        and k not in ROUND5_QUERIES), 2
                 ),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in warm.items()},

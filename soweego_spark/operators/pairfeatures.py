@@ -172,6 +172,18 @@ def _expand_with_closure(col, closure: dict[str, list[str]]):
     )
 
 
+import os as _os
+
+# Exact-equality short-circuit for the max-Levenshtein cross product:
+# any shared token scores 1.0, the maximum possible, so the whole
+# quadratic Levenshtein evaluation can be skipped for pairs whose token
+# arrays overlap (most TRUE matches — the dominant featurize cost is
+# exactly the rows blocking ranked best). Value-identical by
+# construction (1.0 either way, so the pair_features hash gate pins it);
+# the env knob exists for scripts/featurize_ab.py's fresh-JVM A/B.
+_LEV_SHORTCIRCUIT = _os.environ.get("SOWEEGO_LEV_SHORTCIRCUIT", "1") == "1"
+
+
 def _lev_max_expr(a, b):
     """C2: max over the token cross product of ``1 - lev/max(len)`` — the
     built-in ``levenshtein`` inside nested transforms (whole-stage codegen;
@@ -186,10 +198,15 @@ def _lev_max_expr(a, b):
         )
 
     scores = F.flatten(F.transform(a, lambda x: F.transform(b, lambda y: one(x, y))))
+    full = F.array_max(scores)
+    if _LEV_SHORTCIRCUIT:
+        # CaseWhen evaluates lazily: the cross product only runs for
+        # pairs with NO shared token
+        full = F.when(F.arrays_overlap(a, b), F.lit(1.0)).otherwise(full)
     return F.when(
         a.isNull() | b.isNull() | (F.size(a) == 0) | (F.size(b) == 0),
         F.lit(None).cast("double"),
-    ).otherwise(F.array_max(scores))
+    ).otherwise(full)
 
 
 def _cosine_map_expr(ma, na, mb, nb):
