@@ -108,7 +108,10 @@ _DATE_PARTS = StructType(
 )
 
 # [ts, precision] pairs as the JSONL carries them ("1977-02-08T00:00:00Z",
-# 11); the JSON reader coerces the numeric precision to string
+# 11); the JSON reader coerces the numeric precision to string. The
+# secondary name fields feed the link-time full-names rule
+# (link.py:325-342 unions every NAME_FIELD); classification sets carry
+# no tid and absent fields read as NULL.
 _WD_SCHEMA = StructType(
     [
         StructField("qid", StringType()),
@@ -117,8 +120,19 @@ _WD_SCHEMA = StructType(
         StructField("born", ArrayType(ArrayType(StringType()))),
         StructField("died", ArrayType(ArrayType(StringType()))),
         StructField("occupations", ArrayType(StringType())),
+        StructField("given_name", ArrayType(StringType())),
+        StructField("family_name", ArrayType(StringType())),
+        StructField("birth_name", ArrayType(StringType())),
+        StructField("pseudonym", ArrayType(StringType())),
+        StructField("real_name", ArrayType(StringType())),
+        StructField("alias", ArrayType(StringType())),
     ]
 )
+
+_WD_NAME_FIELDS = [
+    "name", "alias", "birth_name", "family_name", "given_name",
+    "pseudonym", "real_name",
+]
 
 
 @F.pandas_udf(ArrayType(_DATE_PARTS))
@@ -255,6 +269,16 @@ def preprocess_wikidata_golden(wd: DataFrame) -> DataFrame:
     values (default English stop list), parsed date lists, occupation
     QIDs as a sorted set, plus the C3 bigram precompute."""
     toks = tokenize_values(F.col("name"))
+    # union of every NAME_FIELD's normalized values — the link-time
+    # full-names rule's wd side (link.py:325-342)
+    all_names = normalize_values(
+        F.concat(
+            *[
+                F.coalesce(F.col(c), F.array().cast("array<string>"))
+                for c in _WD_NAME_FIELDS
+            ]
+        )
+    )
     return wd.select(
         F.col("qid"),
         F.element_at("tid", 1).alias("tid_positive"),
@@ -263,6 +287,7 @@ def preprocess_wikidata_golden(wd: DataFrame) -> DataFrame:
         _parse_wd_dates(F.col("born")).alias("born_p"),
         _parse_wd_dates(F.col("died")).alias("died_p"),
         F.array_sort(F.array_distinct("occupations")).alias("occupations"),
+        all_names.alias("all_names"),
         _bigram_counts(F.array_join(toks, " ")).alias("_bg"),
     ).select(
         "*",
@@ -496,6 +521,73 @@ def build_golden_training_set(
         "label",
         (F.col("tid") == F.col("tid_positive")).cast("int")
     ).fillna(0, subset=["label"]).drop("tid_positive")
+
+
+def link_golden(
+    spark: SparkSession,
+    profession: str,
+    classifier: str = "naive_bayes",
+    samples_dir: str = SAMPLES_DIR,
+    threshold: float = clf.CONFIDENCE_THRESHOLD,
+    top_k: int = 5,
+    name_rule: bool = True,
+    goal: str = "classification",
+) -> DataFrame:
+    """The flagship *link* flow on the golden fixtures (link.py:162-223):
+    train on the training set, block + featurize + score the ``goal``
+    set (classification = wd items lacking the IMDb PID — the files
+    carry no tid), apply the full-names rule (score forced to 0 when the
+    union of the item's normalized NAME_FIELD values is disjoint from
+    the target's normalized name, link.py:325-342; the wikidata-URL rule
+    is vacuous for IMDb, whose target has no URLs), filter by the
+    confidence threshold, and return unique (qid, tid, score)
+    predictions — the rows the S11 links-CSV sink writes.
+
+    NOTE on the classification goal: the sample ``imdb_people.tsv.gz``
+    holds (nearly) only the TRAINING items' people, so classification
+    items have no true counterpart present and the correct output is a
+    near-empty prediction set — the classifier + name rule rejecting the
+    blocker's same-name candidates IS the behavior under test there.
+    ``goal='training'`` links items whose truth is present (in-sample,
+    so a flow check, not a generalization score).
+    """
+    # train on the FULL training set (the reference's `linker train`)
+    ds = build_golden_training_set(spark, profession, samples_dir, top_k)
+    rows = ds.select(*GOLDEN_FEATURES, "label").collect()
+    X = np.array([[r[c] for c in GOLDEN_FEATURES] for r in rows])
+    y = np.array([r["label"] for r in rows], dtype=np.float64)
+    model = _TRAINERS[classifier](X, y, GOLDEN_FEATURES)
+
+    wd = preprocess_wikidata_golden(
+        read_wikidata_set(spark, samples_dir, profession, goal=goal)
+    )
+    wd.cache()
+    tgt = golden_target(spark, samples_dir, profession)
+    tgt.cache()
+    pairs = block_golden(wd, tgt, top_k=top_k)
+    feats = golden_features(pairs, wd, tgt)
+    scored = feats.withColumn("score", model.score_column())
+    if name_rule:
+        names_ok = (
+        pairs.join(wd.select("qid", "all_names"), "qid")
+            .join(
+                tgt.select("tid", F.col("name").alias("t_names")), "tid"
+            )
+            .select(
+                "qid", "tid",
+                F.arrays_overlap("all_names", "t_names").alias("_names_ok"),
+            )
+        )
+        scored = scored.join(names_ok, ["qid", "tid"], "left").withColumn(
+            "score",
+            F.when(
+                F.coalesce(F.col("_names_ok"), F.lit(False)), F.col("score")
+            ).otherwise(F.lit(0.0)),
+        ).drop("_names_ok")
+    return (
+        scored.filter(F.col("score") >= threshold)
+        .select("qid", "tid", "score")
+    )
 
 
 # --------------------------------------------------------------- evaluation

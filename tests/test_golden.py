@@ -102,3 +102,47 @@ def test_golden_labels_join(spark):
         ).collect()
     }
     assert all(wd[r["qid"]] == r["tid"] for r in pos_rows)
+
+
+@pytest.mark.slow
+def test_link_golden_flow(spark):
+    """The link flow end to end on the golden fixtures.
+
+    Training-goal run (the items whose true person IS in the sample
+    target — an in-sample flow check): predictions recover the declared
+    (qid, tid) links with high precision and recall. Classification-goal
+    run (items genuinely lacking the IMDb PID, whose people are mostly
+    ABSENT from the 2,467-person sample target): the classifier + name
+    rule reject nearly every blocked candidate — a near-empty,
+    structurally valid prediction set is the correct output."""
+    preds = golden.link_golden(spark, "director", goal="training").cache()
+    rows = preds.collect()
+    assert len({(r["qid"], r["tid"]) for r in rows}) == len(rows)
+    assert all(0.5 <= r["score"] <= 1.0 for r in rows)
+    truth = {
+        r["qid"]: r["tid_positive"]
+        for r in golden.preprocess_wikidata_golden(
+            golden.read_wikidata_set(spark, golden.SAMPLES_DIR, "director")
+        ).collect()
+        if r["tid_positive"] is not None
+    }
+    hits = sum(1 for r in rows if truth.get(r["qid"]) == r["tid"])
+    assert hits / len(rows) >= 0.9          # precision vs declared links
+    assert hits >= 0.75 * len(truth)        # recall incl. blocking misses
+
+    # the full-names rule holds on every emitted prediction
+    wd = golden.preprocess_wikidata_golden(
+        golden.read_wikidata_set(spark, golden.SAMPLES_DIR, "director")
+    )
+    tgt = golden.golden_target(spark, golden.SAMPLES_DIR, "director")
+    joined = (
+        preds.join(wd.select("qid", "all_names"), "qid")
+        .join(tgt.select("tid", F.col("name").alias("t_names")), "tid")
+        .select(F.arrays_overlap("all_names", "t_names").alias("ok"))
+        .collect()
+    )
+    assert all(r["ok"] for r in joined)
+
+    cls = golden.link_golden(spark, "director").collect()
+    assert len(cls) <= 10  # counterparts absent from the sample target
+    assert all(0.5 <= r["score"] <= 1.0 for r in cls)
