@@ -448,9 +448,15 @@ class SVCModel:
     platt_a: float
     platt_b: float
     kind: str = "svc"
+    kernel: str = "rbf"  # 'rbf' | 'linear' (the reference's published
+    # IMDb SVM rows use SVC(kernel='linear'), docs/evaluations.rst:27-31)
 
     def decision_function(self, X: np.ndarray) -> np.ndarray:
-        K = _rbf_kernel(np.asarray(X, dtype=np.float64), self.support_X, self.gamma)
+        X = np.asarray(X, dtype=np.float64)
+        if self.kernel == "linear":
+            K = X @ self.support_X.T
+        else:
+            K = _rbf_kernel(X, self.support_X, self.gamma)
         return K @ self.support_alpha_y + self.bias
 
     def predict_proba(self, X: np.ndarray) -> np.ndarray:
@@ -496,10 +502,15 @@ def train_svc(
     tol: float = 1e-3,
     max_passes: int = 5,
     max_sweeps: int = 200,
+    kernel: str = "rbf",
 ) -> SVCModel:
     """Simplified SMO (deterministic sweep order + max-|E_i - E_j| second
-    choice) for the soft-margin RBF SVM, then Platt calibration on the
-    training decision values (sklearn defaults C=1.0, gamma='scale')."""
+    choice) for the soft-margin SVM, then Platt calibration on the
+    training decision values (sklearn defaults C=1.0, gamma='scale').
+    ``kernel='linear'`` swaps the Gram matrix for X·Xᵀ — the
+    configuration the reference's published IMDb SVM rows used."""
+    if kernel not in ("rbf", "linear"):
+        raise ValueError(f"kernel must be 'rbf' or 'linear', got {kernel!r}")
     X = np.asarray(X, dtype=np.float64)
     y01 = np.asarray(y, dtype=np.float64)
     yy = np.where(y01 > 0, 1.0, -1.0)
@@ -507,7 +518,7 @@ def train_svc(
     if gamma == "scale":
         var = X.var()
         gamma = 1.0 / (X.shape[1] * var) if var > 0 else 1.0
-    K = _rbf_kernel(X, X, gamma)
+    K = X @ X.T if kernel == "linear" else _rbf_kernel(X, X, gamma)
     alpha = np.zeros(n)
     b = 0.0
     passes = 0
@@ -568,6 +579,7 @@ def train_svc(
         float(gamma),
         0.0,
         0.0,
+        kernel=kernel,
     )
     f = model.decision_function(X)
     model.platt_a, model.platt_b = _platt_fit(f, y01)

@@ -604,6 +604,11 @@ _TRAINERS = {
         X, y, features=feats
     ),
     "slp": lambda X, y, feats: clf.train_slp(X, y, features=feats),
+    # the published table's 'SVM' = libsvm SVC with a LINEAR kernel
+    # (docs/evaluations.rst:27-31), Platt probabilities
+    "svm": lambda X, y, feats: clf.train_svc(
+        X, y, features=feats, kernel="linear"
+    ),
 }
 
 
