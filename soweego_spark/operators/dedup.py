@@ -126,7 +126,8 @@ def minhash_signatures(
     num_perm: int = DEFAULT_NUM_PERM,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, tokens) -> (doc_id, tokens, sig ARRAY<BIGINT>[num_perm]).
+    """(doc_id, tokens) -> (doc_id, sig ARRAY<BIGINT>[num_perm]); docs
+    with no tokens produce no row.
 
     Permutation ``i`` is ``min(xxhash64("p<i>:" || token))`` over the token
     set — the salt prefix makes each permutation an independent
@@ -134,6 +135,13 @@ def minhash_signatures(
     ``num_perm`` partial-min columns: the 64 xxhash64 projections stay in
     whole-stage codegen and map-side combine keeps the shuffle at num_perm
     longs per doc.
+
+    The output deliberately does NOT carry the tokens column: every
+    consumer immediately derives band keys (which drop it) and the
+    Jaccard confirms re-join the original token frame by id — the old
+    convenience join back to ``toks`` cost one full SortMergeJoin +
+    Exchange per signature computation for a column nobody read
+    (r5 plan audit).
 
     NOT written as sibling ``transform`` columns in one projection —
     pyspark 4.1 mis-binds same-named lambda variables across sibling HOF
@@ -180,10 +188,9 @@ def minhash_signatures(
             ).alias(f"h{i}")
             for i in range(num_perm)
         ]
-    sig = exploded.groupBy("doc_id").agg(*mins).select(
+    return exploded.groupBy("doc_id").agg(*mins).select(
         "doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
     )
-    return toks.join(sig, "doc_id")
 
 
 def band_keys(

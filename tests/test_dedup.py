@@ -42,8 +42,11 @@ def test_minhash_lsh_exact_oracle(spark, docs):
     num_perm, bands = 64, 16
     rows = num_perm // bands
     toks = token_sets(docs)
+    tok_by_id = {
+        r["doc_id"]: frozenset(r["tokens"]) for r in toks.collect()
+    }
     sigs = {
-        r["doc_id"]: (tuple(r["sig"]), frozenset(r["tokens"]))
+        r["doc_id"]: (tuple(r["sig"]), tok_by_id[r["doc_id"]])
         for r in minhash_signatures(toks, num_perm).collect()
     }
     expected = set()
