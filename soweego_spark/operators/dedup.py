@@ -866,7 +866,15 @@ def _greedy_drops_joins(edges: DataFrame) -> DataFrame:
     """
     from soweego_spark.operators.cluster import _unpersist_checkpoint
 
-    edges = edges.select("a", "b").localCheckpoint()
+    edges = edges.select("a", "b")
+    if edges.isEmpty():
+        # common hybrid case: no over-cap components — return an empty
+        # typed frame WITHOUT pinning a checkpoint (the exact-mode pinned
+        # -RDD budget is regression-tested)
+        return edges.filter(F.lit(False)).select(
+            F.col("a").alias("doc_id")
+        )
+    edges = edges.localCheckpoint()
     null_b = F.lit(None).cast(edges.schema["b"].dataType).alias("b")
     # state rows: (a, b) = remaining edge; (v, NULL) = dropped vertex
     state = edges
