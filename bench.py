@@ -49,6 +49,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "2000"))
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+# fresh-JVM flagship runs (round 6): single in-JVM warm numbers whipsaw
+# 1.3-1.5x run-to-run on this shared host (VERDICT r5 "What's wrong" #2);
+# the cross-round headline is the MEDIAN of N fresh-JVM subprocesses,
+# each JVM-warmed on seed 7 and measured on seed 42. 0 = skip.
+FRESHJVM_RUNS = int(os.environ.get("SPARK_GRAFT_FRESHJVM_RUNS", "3"))
 
 BENCH_QUERIES = [
     "minhash_lsh_neardup",
@@ -210,10 +215,38 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover — samples dir optional
         golden_eval = {"error": str(exc)[:200]}
 
+    # Ingestion-loop throughput (round 6): the production per-batch loop
+    # behind jobs/ingest_job.py — per batch exact dedup -> near-dup vs
+    # the persisted corpus band table -> fold survivors into checkpointed
+    # state — over the documents table split into 3 deterministic
+    # batches. A FRESH state dir per run (manifest memoization would
+    # otherwise turn run 2 into pure parquet reads); warm = last run.
+    import shutil
+    import tempfile
+
+    from soweego_spark.plans.ingest_loop import (
+        IngestConfig,
+        run_ingest_loop,
+        split_batches,
+    )
+
+    ingest_stats: dict = {}
+    for run in range(N_RUNS):
+        spark.catalog.clearCache()
+        td = tempfile.mkdtemp(prefix="bench_ingest_")
+        try:
+            res = run_ingest_loop(
+                spark, td,
+                split_batches(spark, f"{SF_DIR}/documents.parquet", 3),
+                IngestConfig(),
+            )
+            ingest_stats = res.as_dict()
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
     total = sum(warm.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    payload = (
             {
                 "metric": "suite_wall_seconds",
                 "value": round(total, 2),
@@ -246,11 +279,77 @@ def main() -> None:
                 "er_f1": round(er_f1, 4),
                 "ann_recall_at_10": round(ann_recall, 4),
                 "golden_imdb_5fold": golden_eval,
+                "ingest_loop": ingest_stats,
                 "cpus": CPUS,
             }
-        )
     )
     spark.stop()
+
+    # Fresh-JVM flagship medians (round 6, VERDICT r5 "What's wrong" #2):
+    # run AFTER spark.stop() so each child owns the box. The median of
+    # fresh JVMs is the number cross-round comparisons should use; the
+    # in-JVM warm value above stays for continuity with r1-r5.
+    if FRESHJVM_RUNS > 0:
+        payload["er_pipeline_freshjvm"] = _freshjvm_flagship(FRESHJVM_RUNS)
+
+    print(json.dumps(payload))
+
+
+_FRESHJVM_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from soweego_spark.session import get_spark
+from soweego_spark.sources.pages import generate_pages, pages_to_spark
+from soweego_spark.plans.pipeline import run_pipeline, PipelineConfig
+
+spark = get_spark(cpus={cpus}, app_name="bench-freshjvm",
+                  shuffle_partitions={parts})
+spark.sparkContext.setLogLevel("ERROR")
+closure_of = lambda fx: {{r.code: list(r.related)
+                         for r in fx.occupation_closure.itertuples(index=False)}}
+# JVM warm-up on seed 7, MEASURE on seed 42 (house warm protocol)
+fx_w = generate_pages(n_entities={n}, seed=7)
+pages, _, labeled, _ = pages_to_spark(spark, fx_w)
+run_pipeline(spark, pages, labeled,
+             PipelineConfig(occupation_closure=closure_of(fx_w))
+             ).clusters.write.format("noop").mode("overwrite").save()
+spark.catalog.clearCache()
+fx = generate_pages(n_entities={n}, seed=42)
+pages, _, labeled, _ = pages_to_spark(spark, fx)
+t0 = time.time()
+res = run_pipeline(spark, pages, labeled,
+                   PipelineConfig(occupation_closure=closure_of(fx)))
+res.clusters.write.format("noop").mode("overwrite").save()
+print("RESULT " + json.dumps({{"secs": round(time.time() - t0, 2)}}))
+spark.stop()
+"""
+
+
+def _freshjvm_flagship(runs: int) -> dict:
+    import statistics
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = _FRESHJVM_CHILD.format(
+        repo=repo, cpus=CPUS, parts=2 * CPUS, n=ER_ENTITIES
+    )
+    walls = []
+    for _ in range(runs):
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, cwd=repo, timeout=1800,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                walls.append(json.loads(line[len("RESULT "):])["secs"])
+                break
+        else:
+            return {"error": (out.stdout + out.stderr)[-500:]}
+    return {
+        "median": round(statistics.median(walls), 2),
+        "runs": walls,
+        "protocol": "fresh JVM per run; warm-up seed 7, measured seed 42",
+    }
 
 
 if __name__ == "__main__":

@@ -2,8 +2,9 @@
 """Fresh-JVM interleaved A/B for featurize-stage changes (house protocol:
 PERF.md/CLAUDE.md — never accept an in-session before/after).
 
-Variant wiring: the child sets SOWEEGO_LEV_SHORTCIRCUIT=0/1 before
-importing the package; pairfeatures reads it at import time.
+Variant wiring: the child sets SOWEEGO_LEV_SHORTCIRCUIT=0/1; pairfeatures
+reads it at expression-build time (round 6 — it was import-time before),
+so the fresh-JVM child inherits it either way.
 
 Usage: python scripts/featurize_ab.py [n_entities] [runs_per_variant]
 """

@@ -191,8 +191,24 @@ def main() -> None:
                 runs = int(next(it))
             elif a == "--sf-dir":
                 sf_dir = next(it)
+            elif a.startswith("--"):
+                # fail BEFORE the hardware probes burn minutes (a typo
+                # like `--run 3` used to enqueue '--run' and '3' as
+                # query names and only fail after both probes)
+                sys.exit(f"unknown flag {a!r} (known: --n --runs --sf-dir)")
             else:
                 names.append(a)
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+        )
+        entry_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry_mod)
+        known = set(entry_mod.queries())
+        bad = [q for q in names if q not in known]
+        if bad:
+            sys.exit(f"unknown queries {bad}; see __spark_entry__.queries()")
         query_scaling(names, n, runs, sf_dir)
         return
     n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 4000

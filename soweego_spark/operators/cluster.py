@@ -109,11 +109,19 @@ def connected_components(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src") != F.col("dst")
     )
-    e = e.localCheckpoint()
+    # LAZY checkpoint: the fingerprint action below is the single job that
+    # both materializes/pins the checkpointed RDD and returns the
+    # convergence signal. The old eager-checkpoint-then-probe shape paid
+    # 2 driver-scheduled jobs per iteration; at sandbox scale the loop's
+    # wall is driver-round LATENCY, not data, so halving jobs/iteration
+    # halves the operator's fixed floor (round-6; jobs/round is
+    # regression-asserted via statusTracker in tests/test_cluster.py).
+    e = e.localCheckpoint(eager=False)
 
     def _fingerprint(df):
-        # Order-insensitive edge-set fingerprint: count + hash sum. One
-        # lightweight action per iteration (runs on the checkpointed RDD).
+        # Order-insensitive edge-set fingerprint: count + hash sum. ONE
+        # lightweight action per iteration; scanning every partition for
+        # the aggregate is also what materializes the lazy checkpoint.
         row = df.select(
             F.count("*").alias("n"),
             F.sum(F.hash("src", "dst").cast("long")).alias("h"),
@@ -123,14 +131,14 @@ def connected_components(
     fp = _fingerprint(e)
     for _ in range(max_iterations):
         prev = e
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        fp_new = _fingerprint(e)  # materializes e's checkpoint + probes
         # Without an explicit unpersist every iteration's edge set stays
         # pinned in executor memory until GC/ContextCleaner happens to run
-        # — nondeterministic pressure on long chains at scale. The new
-        # checkpoint has already materialized (eager by default), so
-        # dropping the previous one is safe.
+        # — nondeterministic pressure on long chains at scale. The
+        # fingerprint action above has already materialized the new
+        # checkpoint, so dropping the previous one is safe.
         _unpersist_checkpoint(prev)
-        fp_new = _fingerprint(e)
         if fp_new == fp:
             break
         fp = fp_new

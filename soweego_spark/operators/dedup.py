@@ -859,30 +859,45 @@ def _greedy_drops_joins(edges: DataFrame) -> DataFrame:
     dependency chain. State is ONE id-pair frame per round — remaining
     edges plus a NULL-marked row per already-DROPPED vertex (markers
     accumulate the answer; accepted vertices and vertices whose last
-    neighbor was dropped simply exit the graph as kept) —
-    localCheckpointed once per round with the previous round's pin
-    released, so lineage, storage, and job count stay flat however many
-    rounds run (2 jobs/round: the emptiness probe and the checkpoint).
+    neighbor was dropped simply exit the graph as kept).
+
+    Driver-round floor (round-6): each round is exactly ONE Spark job —
+    the state is checkpointed LAZILY and the remaining-edge count probe
+    is the action that both materializes/pins it and decides termination
+    (the round-5 shape paid a separate eager-checkpoint job plus an
+    isEmpty probe per round, and at sandbox scale the loop's wall is
+    driver-round latency, not data). The previous round's pin is released
+    after the new one materializes, so lineage, storage, and job count
+    stay flat however many rounds run; on exit the drop set is eagerly
+    checkpointed (one tiny id-only job) and the final state + input edges
+    are RELEASED — per-batch ingestion loops accumulate only the returned
+    id-only frame per call (regression-tested in
+    test_exact_mode_bounds_pinned_checkpoints, joins path included).
     """
+    from pyspark.sql.types import StructField, StructType
+
     from soweego_spark.operators.cluster import _unpersist_checkpoint
 
     edges = edges.select("a", "b")
-    if edges.isEmpty():
-        # common hybrid case: no over-cap components — return an empty
-        # typed frame WITHOUT pinning a checkpoint (the exact-mode pinned
-        # -RDD budget is regression-tested)
-        return edges.filter(F.lit(False)).select(
-            F.col("a").alias("doc_id")
+    # lazy checkpoint + count = ONE job that both pins the edges and
+    # returns the edge count (replaces isEmpty probe + eager checkpoint)
+    edges = edges.localCheckpoint(eager=False)
+    n_edges = edges.count()
+    if n_edges == 0:
+        # common hybrid case: no over-cap components — release the pin
+        # the count created and return a fresh empty typed frame (never a
+        # frame derived from an unpersisted checkpoint: recomputing one
+        # throws once its blocks are gone)
+        _unpersist_checkpoint(edges)
+        return edges.sparkSession.createDataFrame(
+            [], StructType([StructField("doc_id", edges.schema["a"].dataType)])
         )
-    edges = edges.localCheckpoint()
     null_b = F.lit(None).cast(edges.schema["b"].dataType).alias("b")
     # state rows: (a, b) = remaining edge; (v, NULL) = dropped vertex
     state = edges
-    prev = None
-    while True:
+    prev = edges
+    while n_edges > 0:
         cur = state.filter(F.col("b").isNotNull())
-        if cur.isEmpty():
-            break
         bi = cur.unionByName(
             cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
@@ -892,11 +907,14 @@ def _greedy_drops_joins(edges: DataFrame) -> DataFrame:
             .filter(F.col("a") < F.col("mn"))
             .select(F.col("a").alias("v"))
         )
-        dropped = (
-            bi.join(accepted.withColumnRenamed("v", "a"), "a")
-            .select(F.col("b").alias("v"))
-            .distinct()
-        )
+        # NO per-round distinct: a vertex neighboring several accepted
+        # vertices yields duplicate rows, which the anti-joins ignore and
+        # the marker rows tolerate (duplicates bounded by accepted-degree;
+        # the single distinct on the final drop set dedups them once) —
+        # one fewer Exchange, and one fewer AQE stage-job, per round
+        dropped = bi.join(
+            accepted.withColumnRenamed("v", "a"), "a"
+        ).select(F.col("b").alias("v"))
         decided = accepted.unionByName(dropped)
         nxt = (
             cur.join(decided.withColumnRenamed("v", "a"), "a", "left_anti")
@@ -908,15 +926,19 @@ def _greedy_drops_joins(edges: DataFrame) -> DataFrame:
                 state.filter(F.col("b").isNull()).select("a", "b")
             )
             .unionByName(dropped.select(F.col("v").alias("a"), null_b))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if prev is not None:
-            _unpersist_checkpoint(prev)
+        # the round's single job: materializes the new state's checkpoint
+        # AND returns the remaining-edge count that decides termination
+        n_edges = state.filter(F.col("b").isNotNull()).count()
+        _unpersist_checkpoint(prev)
         prev = state
+    # loop exits with 0 edges left: the state is exactly the NULL-marked
+    # drop set. Pin it as its own tiny id-only checkpoint and release the
+    # final round's state (the loop already released the input edges and
+    # every intermediate round when the following round materialized).
     out = state.filter(F.col("b").isNull()).select(
         F.col("a").alias("doc_id")
-    )
-    # the final state + input edges stay pinned until the caller consumes
-    # `out` (id-only rows, bounded by dropped-vertex count) — same budget
-    # class as the other exact-mode id tables
+    ).distinct().localCheckpoint()
+    _unpersist_checkpoint(state)
     return out

@@ -38,6 +38,8 @@ Missing values fill with FEATURE_MISSING_VALUE = 0.0 (constants.py:359).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -172,16 +174,6 @@ def _expand_with_closure(col, closure: dict[str, list[str]]):
     )
 
 
-import os as _os
-
-# Exact-equality short-circuit for the max-Levenshtein cross product:
-# any shared token scores 1.0, the maximum possible, so the whole
-# quadratic Levenshtein evaluation can be skipped for pairs whose token
-# arrays overlap (most TRUE matches — the dominant featurize cost is
-# exactly the rows blocking ranked best). Value-identical by
-# construction (1.0 either way, so the pair_features hash gate pins it);
-# the env knob exists for scripts/featurize_ab.py's fresh-JVM A/B.
-_LEV_SHORTCIRCUIT = _os.environ.get("SOWEEGO_LEV_SHORTCIRCUIT", "1") == "1"
 
 
 def _lev_max_expr(a, b):
@@ -199,7 +191,16 @@ def _lev_max_expr(a, b):
 
     scores = F.flatten(F.transform(a, lambda x: F.transform(b, lambda y: one(x, y))))
     full = F.array_max(scores)
-    if _LEV_SHORTCIRCUIT:
+    # Exact-equality short-circuit for the max-Levenshtein cross product:
+    # any shared token scores 1.0, the maximum possible, so the whole
+    # quadratic Levenshtein evaluation can be skipped for pairs whose
+    # token arrays overlap (most TRUE matches — the dominant featurize
+    # cost is exactly the rows blocking ranked best). Value-identical by
+    # construction (1.0 either way, so the pair_features hash gate pins
+    # it). The env knob exists for scripts/featurize_ab.py's fresh-JVM
+    # A/B and is read HERE, at expression-build time, so setting it after
+    # import still takes effect (it was import-time-only before round 6).
+    if os.environ.get("SOWEEGO_LEV_SHORTCIRCUIT", "1") == "1":
         # CaseWhen evaluates lazily: the cross product only runs for
         # pairs with NO shared token
         full = F.when(F.arrays_overlap(a, b), F.lit(1.0)).otherwise(full)

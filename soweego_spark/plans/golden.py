@@ -508,6 +508,23 @@ def build_golden_training_set(
     Positives the blocker misses are absent, like the reference's
     (train.py:219-225; its evaluation scores positives ∩ dataset only).
     """
+    ds, _ = _golden_training_set_cached(
+        spark, profession, samples_dir, top_k, include_jw
+    )
+    return ds
+
+
+def _golden_training_set_cached(
+    spark: SparkSession,
+    profession: str,
+    samples_dir: str,
+    top_k: int,
+    include_jw: bool = False,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """build_golden_training_set plus the cached wd/tgt frames so a
+    collecting caller can unpersist them afterwards (the collect is the
+    only consumer in the link/evaluate flows; without the release a
+    bench run evaluating 5 professions accumulates ~10 cached frames)."""
     wd = preprocess_wikidata_golden(
         read_wikidata_set(spark, samples_dir, profession)
     )
@@ -517,10 +534,11 @@ def build_golden_training_set(
     pairs = block_golden(wd, tgt, top_k=top_k)
     feats = golden_features(pairs, wd, tgt, include_jw=include_jw)
     labels = wd.select("qid", F.col("tid_positive"))
-    return feats.join(labels, "qid", "left").withColumn(
+    ds = feats.join(labels, "qid", "left").withColumn(
         "label",
         (F.col("tid") == F.col("tid_positive")).cast("int")
     ).fillna(0, subset=["label"]).drop("tid_positive")
+    return ds, [wd, tgt]
 
 
 def link_golden(
@@ -552,8 +570,14 @@ def link_golden(
     so a flow check, not a generalization score).
     """
     # train on the FULL training set (the reference's `linker train`)
-    ds = build_golden_training_set(spark, profession, samples_dir, top_k)
-    rows = ds.select(*GOLDEN_FEATURES, "label").collect()
+    ds, cached = _golden_training_set_cached(
+        spark, profession, samples_dir, top_k
+    )
+    try:
+        rows = ds.select(*GOLDEN_FEATURES, "label").collect()
+    finally:
+        for c in cached:
+            c.unpersist()
     X = np.array([[r[c] for c in GOLDEN_FEATURES] for r in rows])
     y = np.array([r["label"] for r in rows], dtype=np.float64)
     model = _TRAINERS[classifier](X, y, GOLDEN_FEATURES)
@@ -584,10 +608,18 @@ def link_golden(
                 F.coalesce(F.col("_names_ok"), F.lit(False)), F.col("score")
             ).otherwise(F.lit(0.0)),
         ).drop("_names_ok")
-    return (
+    preds = (
         scored.filter(F.col("score") >= threshold)
         .select("qid", "tid", "score")
     )
+    # materialize the (tiny, threshold-filtered) prediction set so the
+    # goal-set wd/tgt caches can be released here instead of leaking into
+    # the caller's session (ADVICE round-6); callers may release the
+    # returned checkpoint with cluster._unpersist_checkpoint once consumed
+    preds = preds.localCheckpoint()
+    wd.unpersist()
+    tgt.unpersist()
+    return preds
 
 
 # --------------------------------------------------------------- evaluation
@@ -629,12 +661,16 @@ def evaluate_golden(
     bounded by |wd items| * top_k.
     """
     feats = GOLDEN_FEATURES + (["name_jw"] if include_jw else [])
-    ds = build_golden_training_set(
-        spark, profession, samples_dir, include_jw=include_jw
+    ds, cached = _golden_training_set_cached(
+        spark, profession, samples_dir, top_k=5, include_jw=include_jw
     )
-    rows = ds.withColumn(
-        "fold", F.pmod(F.hash("qid", "tid"), F.lit(k))
-    ).select(*feats, "label", "fold").collect()
+    try:
+        rows = ds.withColumn(
+            "fold", F.pmod(F.hash("qid", "tid"), F.lit(k))
+        ).select(*feats, "label", "fold").collect()
+    finally:
+        for c in cached:
+            c.unpersist()
     X = np.array([[r[c] for c in feats] for r in rows])
     y = np.array([r["label"] for r in rows], dtype=np.float64)
     folds = np.array([r["fold"] for r in rows])

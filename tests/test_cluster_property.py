@@ -104,6 +104,37 @@ def test_cc_loop_releases_checkpoint_rdds(spark):
     assert after <= before + 1, (before, after)
 
 
+def test_cc_loop_one_action_per_iteration(spark):
+    """Driver-round floor regression (round-6): each CC iteration must
+    issue ONE Spark action — the fingerprint aggregate that also
+    materializes that iteration's lazy localCheckpoint (the round-5 shape
+    paid a separate eager-checkpoint job per iteration). AQE splits the
+    action into one job per Exchange; marginal jobs per extra iteration
+    between two chain lengths of known iteration counts stays ~4-5 with
+    the single-action loop and >=6 with the two-action shape."""
+    sc = spark.sparkContext
+    jobs = {}
+    for label, n in (("short", 4), ("long", 80)):
+        edges = spark.createDataFrame(
+            [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)],
+            "url_a string, url_b string",
+        )
+        group = f"cc-jobs-{label}"
+        sc.setJobGroup(group, "job-count probe")
+        try:
+            out = connected_components(edges, release_checkpoint=True)
+            assert out.select("cluster_id").distinct().count() == 1
+        finally:
+            sc.setJobGroup(None, None)
+        jobs[label] = len(sc.statusTracker().getJobIdsForGroup(group))
+    # alternating star rounds halve chain diameter: the 80-edge chain
+    # takes 8 iterations vs the 4-edge chain's 3 (instrumented; both
+    # deterministic for fixed input). Measured marginal: 4.0 jobs/iter
+    # single-action, >=5 with the extra eager-checkpoint job per iter.
+    marginal = (jobs["long"] - jobs["short"]) / 5.0
+    assert marginal <= 4.8, jobs
+
+
 def test_pairwise_cluster_metrics_hand_computed(spark):
     """3 truth entities, 2 predicted clusters; counts checked by hand:
     clusters {a1,a2,b1} and {b2,b3,c1}: TP = C(2,2-ish)... explicitly:

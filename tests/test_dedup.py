@@ -500,6 +500,50 @@ def test_exact_mode_bounds_pinned_checkpoints(spark):
     after = jsc.getPersistentRDDs().size()
     assert after <= before + 3, (before, after)
 
+    # joins path (max_component_edges=0, the round-6 ADVICE item): the
+    # greedy rounds release the input edges and every per-round state;
+    # only the returned id-only drop frame may stay pinned per call
+    before = jsc.getPersistentRDDs().size()
+    incremental_minhash_neardup(
+        new,
+        corpus,
+        jaccard_threshold=0.7,
+        within_batch="exact",
+        max_component_edges=0,
+    ).collect()
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before + 3, (before, after)
+
+
+def test_greedy_joins_one_action_per_round(spark):
+    """Driver-round floor regression (round-6): the joins greedy must
+    issue ONE Spark action per round — the lazy-checkpoint-materializing
+    count that also decides termination. AQE splits that action into one
+    job per Exchange, so the stable observable is the MARGINAL jobs per
+    extra round between two chains of known round counts: ~10 with the
+    single-action round (no per-round distinct), >=12 with the round-5
+    two-action shape."""
+    from soweego_spark.operators.dedup import _greedy_component_drops
+
+    sc = spark.sparkContext
+    jobs = {}
+    # ascending chain of n vertices = ceil((n-1)/2) greedy rounds
+    for n, rounds in ((6, 3), (21, 10)):
+        edges = spark.createDataFrame(
+            [(i + 1, i) for i in range(n - 1)], "doc_id long, other_id long"
+        )
+        group = f"greedy-jobs-{n}"
+        sc.setJobGroup(group, "job-count probe")
+        try:
+            drops = _greedy_component_drops(edges, max_component_edges=0)
+            got = sorted(r["doc_id"] for r in drops.collect())
+        finally:
+            sc.setJobGroup(None, None)
+        assert got == list(range(1, n, 2))
+        jobs[rounds] = len(sc.statusTracker().getJobIdsForGroup(group))
+    marginal = (jobs[10] - jobs[3]) / 7.0
+    assert marginal <= 11.0, jobs
+
 
 def test_greedy_drops_joins_equivalence(spark):
     """The r5 distributed greedy: on random graphs, the pure-join
