@@ -213,71 +213,97 @@ def main() -> None:
         return
     n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    hw_small = hw_probe(n)
-    hw_big = hw_probe(4 * n)
-    small = run_at(n_entities, n)
-    big = run_at(n_entities, 4 * n)
-    eff = small["seconds"] / (4.0 * big["seconds"])
-    hw_speedup = hw_small["secs"] / hw_big["secs"]
-    hw_eff = hw_speedup / 4.0
-    job_speedup = small["seconds"] / big["seconds"]
-    norm_eff = job_speedup / hw_speedup if hw_speedup else 0.0
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    probe_runs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    import statistics
+
+    def med(xs):
+        return statistics.median(xs)
+
+    def probe_block() -> dict[int, list[float]]:
+        out: dict[int, list[float]] = {n: [], 4 * n: []}
+        for _ in range(probe_runs):
+            for c in (n, 4 * n):  # interleaved
+                out[c].append(hw_probe(c)["secs"])
+        return out
+
+    # hardware probe BEFORE and AFTER the job runs (the probe itself
+    # drifts 0.43-0.58 across sessions on this shared host — VERDICT r5;
+    # bracketing the job runs turns that drift into a reported band
+    # instead of a hidden bias)
+    probes_before = probe_block()
+    smalls, bigs = [], []
+    for _ in range(runs):
+        for cores, acc in ((n, smalls), (4 * n, bigs)):  # interleaved
+            acc.append(run_at(n_entities, cores))
+    probes_after = probe_block()
+
+    t_n = med([r["seconds"] for r in smalls])
+    t_4n = med([r["seconds"] for r in bigs])
+    job_speedup = t_n / t_4n
+    eff = job_speedup / 4.0
+    sp_before = med(probes_before[n]) / med(probes_before[4 * n])
+    sp_after = med(probes_after[n]) / med(probes_after[4 * n])
+    sp_pooled = med(probes_before[n] + probes_after[n]) / med(
+        probes_before[4 * n] + probes_after[4 * n]
+    )
+    norm_eff = job_speedup / sp_pooled
+    # Confidence band: every pairwise small/big wall ratio (runs^2 job
+    # speedup samples) divided by each of the two probe-block speedups;
+    # report the 10th-90th percentile of the normalized samples.
+    ratios = sorted(
+        s["seconds"] / b["seconds"] for s in smalls for b in bigs
+    )
+    norm_samples = sorted(
+        r / p for r in ratios for p in (sp_before, sp_after)
+    )
+    lo = norm_samples[max(0, int(0.1 * len(norm_samples)) - 0)]
+    hi = norm_samples[min(len(norm_samples) - 1,
+                          int(0.9 * len(norm_samples)))]
     result = {
         "n_entities": n_entities,
-        "small": small,
-        "big": big,
+        "runs_per_size": runs,
+        "small": {"cores": n, "median_s": round(t_n, 2),
+                  "runs": [r["seconds"] for r in smalls]},
+        "big": {"cores": 4 * n, "median_s": round(t_4n, 2),
+                "runs": [r["seconds"] for r in bigs]},
+        "pairs": smalls[0]["pairs"],
+        "f1": smalls[0]["f1"],
         "scaling_efficiency": round(eff, 3),
-        "hw_probe": {"small": hw_small, "big": hw_big,
-                      "hw_scaling_efficiency": round(hw_eff, 3)},
+        "hw_probe": {
+            "before": {str(c): v for c, v in probes_before.items()},
+            "after": {str(c): v for c, v in probes_after.items()},
+            "speedup_before": round(sp_before, 3),
+            "speedup_after": round(sp_after, 3),
+            "speedup_pooled": round(sp_pooled, 3),
+        },
         "hw_normalized_efficiency": round(norm_eff, 3),
+        "hw_normalized_efficiency_band_p10_p90": [
+            round(lo, 3), round(hi, 3)
+        ],
     }
     print(json.dumps(result))
 
-    fourn = 4 * n
-    md = f"""# BENCH_SCALING — two-cluster-size evidence (north_rule)
-
-Same end-to-end ER-pipeline job (extract -> block -> featurize -> train ->
-score -> rules -> threshold -> connected components) on the identical
-deterministic input ({n_entities} entities, seed 42), fresh JVM per run.
-Cluster sizes N={n} and 4N={4 * n} are modelled as local[{n}] / local[{4 * n}]
-with shuffle partitions 2x cores (no real cluster in this sandbox).
-
-| cores | wall s | candidate pairs scored | pairs/sec | F1 |
-|---|---|---|---|---|
-| {small['cores']} | {small['seconds']} | {small['pairs']} | {small['pairs_per_sec']} | {small['f1']} |
-| {big['cores']} | {big['seconds']} | {big['pairs']} | {big['pairs_per_sec']} | {big['f1']} |
-
-**Raw scaling efficiency (N -> 4N) = T_N / (4 * T_4N) = {eff:.3f}**
-
-Hardware ceiling, measured in the same session with a pure-JVM
-embarrassingly-parallel probe (`spark.range` + sqrt/sin fold, fresh JVM):
-{n} cores {hw_small['secs']} s -> {fourn} cores {hw_big['secs']} s, i.e. the BOX
-itself only achieves **{hw_eff:.3f}** efficiency on ideal work — no job can
-exceed it here.
-
-**Hardware-normalized efficiency = job speedup / hardware-probe speedup =
-{norm_eff:.3f}** (target >= 0.8, BASELINE.json: the job adds essentially no
-serialization beyond what the sandbox CPU itself imposes).
-
-## Why N={n} (sandbox CPU ceiling)
-
-The container advertises 32 CPUs but a pure-JVM embarrassingly-parallel
-Spark microbenchmark (`spark.range` + sqrt/sin fold, no shuffle, no
-Python) measures the box's *effective* parallel throughput saturating at
-~8 threads (1 core: 20M rows/s; 8: 51M/s; 16: 52M/s; 32: 53M/s — i.e. the
-hardware itself only delivers ~2.6x from 1 -> 32 threads, so NO job can
-show 0.8 wall-clock efficiency above 8 threads here). Within the range
-where the hardware scales (<= 8 threads), the pipeline scales linearly or
-better — the job adds no serialization of its own: every stage is
-shuffle-partitioned equi-joins/aggregations whose task counts grow with
-the core count, which is exactly what transfers to N vs 4N real executors.
-
-Above the ceiling the pipeline *regresses* (32 threads: ~94-106 s on this
-input) because 32 Python workers (the single extract mapInPandas stage)
-and 32 task threads contend for ~8 effective cores; on a real 32-core
-executor fleet that contention does not exist.
-"""
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as fh:
+    small_runs = ", ".join(f"{r['seconds']:.2f}" for r in smalls)
+    big_runs = ", ".join(f"{r['seconds']:.2f}" for r in bigs)
+    md = (
+        f"\n## Flagship re-measurement ({n_entities} entities, seed 42, "
+        f"N={n} vs 4N={4 * n})\n\n"
+        f"{runs} interleaved fresh-JVM runs per size; hardware probe "
+        f"{probe_runs}x per size BEFORE and AFTER the job block "
+        f"(interleaved).\n\n"
+        f"| cores | wall s (median of {runs}) | individual runs |\n"
+        f"|---|---|---|\n"
+        f"| {n} | {t_n:.1f} | {small_runs} |\n"
+        f"| {4 * n} | {t_4n:.1f} | {big_runs} |\n\n"
+        f"Probe speedup before {sp_before:.3f} / after {sp_after:.3f} "
+        f"(pooled {sp_pooled:.3f}); job speedup {job_speedup:.3f}; raw "
+        f"efficiency **{eff:.3f}**; **hardware-normalized efficiency "
+        f"{norm_eff:.3f}**, p10-p90 band [{lo:.3f}, {hi:.3f}] over all "
+        f"pairwise run ratios x both probe blocks "
+        f"(target >= 0.8, BASELINE.json).\n"
+    )
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as fh:
         fh.write(md)
 
 

@@ -39,6 +39,11 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 16
 
+# diagnostics: round count of the most recent _greedy_drops_joins call
+# (the per-round driver floor is the joins path's sandbox-scale cost;
+# scripts/greedy_scale_proof.py reports rounds/wall per graph shape)
+LAST_JOINS_ROUNDS = 0
+
 # --------------------------------------------------------------- hashing
 #
 # Two deterministic hash families, selectable per operator:
@@ -896,7 +901,9 @@ def _greedy_drops_joins(edges: DataFrame) -> DataFrame:
     # state rows: (a, b) = remaining edge; (v, NULL) = dropped vertex
     state = edges
     prev = edges
+    rounds = 0
     while n_edges > 0:
+        rounds += 1
         cur = state.filter(F.col("b").isNotNull())
         bi = cur.unionByName(
             cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -941,4 +948,8 @@ def _greedy_drops_joins(edges: DataFrame) -> DataFrame:
         F.col("a").alias("doc_id")
     ).distinct().localCheckpoint()
     _unpersist_checkpoint(state)
+    # diagnostics only (scripts/greedy_scale_proof.py reads it): rounds
+    # == longest greedy dependency chain in the input
+    global LAST_JOINS_ROUNDS
+    LAST_JOINS_ROUNDS = rounds
     return out
