@@ -339,33 +339,61 @@ def compute_features(
         if carry_rule_cols
         else []
     )
+    feature_exprs = {
+        "name_exact": lambda: _exact_list_match(
+            F.col("a_name"), F.col("b_name")
+        ),
+        "name_lev": lambda: _lev_max_expr(
+            F.col("a_name_tokens"), F.col("b_name_tokens")
+        ),
+        "name_cos": lambda: _cosine_map_expr(
+            F.col("a_name_bigrams"), F.col("a_name_bigram_norm"),
+            F.col("b_name_bigrams"), F.col("b_name_bigram_norm"),
+        ),
+        "name_shared": lambda: _shared_tokens(
+            F.col("a_name_tokens"), F.col("b_name_tokens"), band_words
+        ),
+        "url_exact": lambda: _exact_list_match(
+            F.col("a_urls"), F.col("b_urls")
+        ),
+        "url_tok_shared": lambda: _shared_ratio_min(a_ut, b_ut),
+        "born_sim": lambda: _date_sim_expr(
+            F.col("a_born_p"), F.col("b_born_p")
+        ),
+        "died_sim": lambda: _date_sim_expr(
+            F.col("a_died_p"), F.col("b_died_p")
+        ),
+        "desc_cos": lambda: _cosine_map_expr(
+            F.col("a_desc_terms"), F.col("a_desc_norm"),
+            F.col("b_desc_terms"), F.col("b_desc_norm"),
+        ),
+        "occ_shared": lambda: _shared_ratio_min(a_occ, b_occ),
+        "genre_shared": lambda: _shared_tokens(
+            F.col("a_genres"), F.col("b_genres"), []
+        ),
+    }
+    # Measurement-only knob (scripts/featurize_ablate.py): replace the
+    # named features with a literal to isolate each column's marginal
+    # cost (the round-2 ablation that found the 876-element literal-array
+    # rebuild). NEVER set outside the ablation harness — it changes
+    # outputs by construction.
+    ablate = {
+        s for s in os.environ.get("SOWEEGO_ABLATE", "").split(",") if s
+    }
+    unknown = ablate - set(feature_exprs)
+    if unknown:
+        raise ValueError(f"SOWEEGO_ABLATE unknown features: {unknown}")
+
+    def fexpr(name: str):
+        if name in ablate:
+            return F.lit(0.5).alias(name)
+        return feature_exprs[name]().alias(name)
+
     out = pair_rows.select(
         "url_a",
         "url_b",
         *carried,
-        _exact_list_match(F.col("a_name"), F.col("b_name")).alias("name_exact"),
-        _lev_max_expr(F.col("a_name_tokens"), F.col("b_name_tokens")).alias(
-            "name_lev"
-        ),
-        _cosine_map_expr(
-            F.col("a_name_bigrams"), F.col("a_name_bigram_norm"),
-            F.col("b_name_bigrams"), F.col("b_name_bigram_norm"),
-        ).alias("name_cos"),
-        _shared_tokens(
-            F.col("a_name_tokens"), F.col("b_name_tokens"), band_words
-        ).alias("name_shared"),
-        _exact_list_match(F.col("a_urls"), F.col("b_urls")).alias("url_exact"),
-        _shared_ratio_min(a_ut, b_ut).alias("url_tok_shared"),
-        _date_sim_expr(F.col("a_born_p"), F.col("b_born_p")).alias("born_sim"),
-        _date_sim_expr(F.col("a_died_p"), F.col("b_died_p")).alias("died_sim"),
-        _cosine_map_expr(
-            F.col("a_desc_terms"), F.col("a_desc_norm"),
-            F.col("b_desc_terms"), F.col("b_desc_norm"),
-        ).alias("desc_cos"),
-        _shared_ratio_min(a_occ, b_occ).alias("occ_shared"),
-        _shared_tokens(F.col("a_genres"), F.col("b_genres"), []).alias(
-            "genre_shared"
-        ),
+        *[fexpr(name) for name in feature_exprs],
         *([name_jw_column().alias("name_jw")] if include_jw else []),
     )
     fill_cols = FEATURE_COLUMNS + (["name_jw"] if include_jw else [])

@@ -636,3 +636,34 @@ def test_incremental_exact_mode_joins_path_end_to_end(spark):
         max_component_edges=0,
     )
     assert sorted(r["doc_id"] for r in exact.collect()) == [1, 3]
+
+
+@pytest.mark.slow
+def test_greedy_joins_scale_proof_constrained_heap():
+    """The joins greedy's memory claim demonstrated under a REAL heap
+    cap: a 400k-edge single component (over-cap -> CC + join rounds) and
+    a chain (pure joins) both resolve oracle-identically in a fresh
+    subprocess JVM with spark.driver.memory=1g — the per-component
+    pandas dict that would hold the whole component never gets built.
+    Full-size numbers (1.5M edges @2g): PERF.md §24."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import soweego_spark
+
+    repo = os.path.dirname(os.path.dirname(soweego_spark.__file__))
+    out = subprocess.run(
+        [sys.executable, "scripts/greedy_scale_proof.py", "1g",
+         "300000", "100000", "40"],
+        capture_output=True, text=True, cwd=repo, timeout=1200,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    results = [json.loads(l) for l in out.stdout.splitlines() if l.strip()]
+    assert len(results) == 2
+    for r in results:
+        assert r["correct"], r
+    dense, chain = results
+    assert dense["drops"] == 300_000
+    assert chain["rounds"] == 20 and chain["drops"] == 20
