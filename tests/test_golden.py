@@ -146,3 +146,45 @@ def test_link_golden_flow(spark):
     cls = golden.link_golden(spark, "director").collect()
     assert len(cls) <= 10  # counterparts absent from the sample target
     assert all(0.5 <= r["score"] <= 1.0 for r in cls)
+
+
+def test_golden_blocking_no_rank_misses(spark):
+    """Round-6 decomposition gate (PERF.md §26): among positives whose
+    tid IS in the profession target table AND shares >=1 name token with
+    its own target row, the IDF top-5 blocking must retrieve ALL of them
+    (rank misses == 0) — i.e. recall losses are membership/script facts
+    about the data, never ranking regressions. Two professions keep the
+    runtime bounded; the full five-way table is in PERF.md §26."""
+    for prof in ("director", "musician"):
+        wd = golden.preprocess_wikidata_golden(
+            golden.read_wikidata_set(spark, golden.SAMPLES_DIR, prof)
+        ).cache()
+        tgt = golden.golden_target(spark, golden.SAMPLES_DIR, prof).cache()
+        try:
+            pos = wd.filter(F.col("tid_positive").isNotNull()).select(
+                "qid", F.col("tid_positive").alias("tid")
+            )
+            present = pos.join(
+                tgt.select("tid").distinct(), "tid", "left_semi"
+            )
+            wtoks = wd.select("qid", F.explode("name_tokens").alias("token"))
+            ttoks = tgt.select("tid", F.explode("name_tokens").alias("token"))
+            achievable = (
+                present.join(wtoks, "qid")
+                .join(ttoks, ["tid", "token"], "left_semi")
+                .select("qid", "tid")
+                .distinct()
+            )
+            pairs = golden.block_golden(wd, tgt, top_k=5)
+            rank_misses = achievable.join(
+                pairs, ["qid", "tid"], "left_anti"
+            ).count()
+            assert rank_misses == 0, prof
+            n_present = present.count()
+            retrieved = present.join(
+                pairs, ["qid", "tid"], "left_semi"
+            ).count()
+            assert retrieved / n_present >= 0.98, (prof, retrieved, n_present)
+        finally:
+            wd.unpersist()
+            tgt.unpersist()
