@@ -699,12 +699,11 @@ def _incr_tok_ctes(n: int = 3) -> str:
     )"""
 
 
-def _incr_sig_ctes(num_perm: int, bands: int, cap: int,
-                   corpus_pred: str, new_pred: str) -> str:
-    """tokh/sigs/banded + capped corpus/new band CTE text (expects `toks`
-    upstream); the corpus/new membership split is parameterized so the
-    conservative (parity) and exact (id-space) gate queries share one
-    signature pipeline."""
+def _incr_band_ctes(num_perm: int, bands: int) -> str:
+    """The shared tokh/sigs/banded CTE text (expects `toks` upstream):
+    md5 Kirsch-Mitzenmacher signatures banded into (band_id, band_val)
+    keys for EVERY doc — signatures are doc-local, so one pass serves
+    any corpus/new/batch membership split layered on top."""
     from soweego_spark.operators.dedup import PERM_MASK_55, PERM_MASK_60
 
     rows = num_perm // bands
@@ -735,7 +734,16 @@ def _incr_sig_ctes(num_perm: int, bands: int, cap: int,
     ),
     banded AS (
         {band_selects}
-    ),
+    )"""
+
+
+def _incr_sig_ctes(num_perm: int, bands: int, cap: int,
+                   corpus_pred: str, new_pred: str) -> str:
+    """tokh/sigs/banded + capped corpus/new band CTE text (expects `toks`
+    upstream); the corpus/new membership split is parameterized so the
+    conservative (parity) and exact (id-space) gate queries share one
+    signature pipeline."""
+    return f"""{_incr_band_ctes(num_perm, bands)},
     corpus_banded AS (SELECT * FROM banded WHERE {corpus_pred}),
     new_banded AS (SELECT * FROM banded WHERE {new_pred}),
     kept_buckets AS (
@@ -800,6 +808,140 @@ def _q_incremental_sql(num_perm: int = 64, bands: int = 16, n: int = 3,
     SELECT doc_id FROM toks
     WHERE doc_id % 2 = 1
       AND doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
+def q_ingest_loop_3batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PRODUCTION LOOP ITSELF under the hash gate: run the composed
+    continuous-ingestion pipeline (plans/ingest_loop.py — the engine
+    behind jobs/ingest_job.py) over the documents table split into 3
+    deterministic batches by doc_id modulus, md5 hash family, and return
+    every survivor. Per batch: exact dedup against the survivors' seen
+    keys -> MinHash near-dedup against the survivors' band table (bands
+    probe capped corpus buckets + capped same-batch buckets, exact
+    Jaccard confirm, conservative within-batch) -> fold ONLY survivors
+    forward. The DuckDB oracle replays all three batches as chained CTEs
+    (signatures computed once — they are doc-local), including the
+    survivors-only state fold: a batch-2 doc that exactly duplicates a
+    batch-1 DROPPED doc is not exact-dropped (the dropped doc never
+    entered the seen table) — it survives unless near-dup of a SURVIVOR.
+    State lives in a throw-away StageCheckpointer dir, so the gate also
+    exercises the manifest-chained stage machinery end to end."""
+    import tempfile
+
+    from soweego_spark.plans.checkpoint import StageCheckpointer
+    from soweego_spark.plans.ingest_loop import (
+        IngestConfig,
+        run_ingest_loop,
+        split_batches,
+    )
+
+    td = tempfile.mkdtemp(prefix="gate_ingest_")
+    cfg = IngestConfig(
+        num_perm=32, bands=8, shingle_n=3, jaccard_threshold=0.7,
+        hash_family="md5",
+    )
+    run_ingest_loop(
+        spark, td, split_batches(spark, f"{sf_dir}/documents.parquet", 3),
+        cfg,
+    )
+    ckpt = StageCheckpointer(td, spark)
+    kept = None
+    for i in (1, 2, 3):
+        mf = ckpt.manifest(f"kept_b{i}")
+        part = ckpt.load(f"kept_b{i}", mf["config_hash"]).select("doc_id")
+        kept = part if kept is None else kept.unionByName(part)
+    return kept
+
+
+def _q_ingest_loop_sql(num_perm: int = 32, bands: int = 8, n: int = 3,
+                       cap: int = 10_000, t: float = 0.7,
+                       n_batches: int = 3) -> str:
+    """DuckDB replica of q_ingest_loop_3batch: one shared signature/band
+    pass over every doc, then one chained CTE block per batch — in-batch
+    exact dedup (first id per (md5, length) content key; the triple key's
+    xxhash64 member never changes an equality decision), seen-key
+    anti-join against the CUMULATIVE SURVIVORS, band probes against the
+    survivors' capped buckets plus the capped same-batch self-join,
+    exact-Jaccard confirm at the conservative smaller-id semantics, and
+    the survivors-only fold into kept_{k}."""
+    blocks = ["kept_0(doc_id) AS (SELECT doc_id FROM documents WHERE 1=0)"]
+    for k in range(1, n_batches + 1):
+        pred = f"doc_id % {n_batches} = {k - 1}"
+        p = f"kept_{k - 1}"
+        blocks.append(f"""b{k}_exact AS (
+        SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   row_number() OVER (PARTITION BY c.ck ORDER BY c.doc_id)
+                       AS rn
+            FROM ckeys c
+            WHERE c.{pred}
+              AND c.ck NOT IN (SELECT s.ck FROM ckeys s
+                               JOIN {p} pk ON s.doc_id = pk.doc_id)
+        ) WHERE rn = 1
+    ),
+    b{k}_new_banded AS (
+        SELECT b.* FROM banded b JOIN b{k}_exact USING (doc_id)
+    ),
+    b{k}_corpus_banded AS (
+        SELECT b.* FROM banded b JOIN {p} USING (doc_id)
+    ),
+    b{k}_corpus_ok AS (
+        SELECT band_id, band_val FROM b{k}_corpus_banded
+        GROUP BY band_id, band_val HAVING count(*) <= {cap}
+    ),
+    b{k}_corpus_capped AS (
+        SELECT c.doc_id, c.band_id, c.band_val
+        FROM b{k}_corpus_banded c JOIN b{k}_corpus_ok
+        USING (band_id, band_val)
+    ),
+    b{k}_new_ok AS (
+        SELECT band_id, band_val FROM b{k}_new_banded
+        GROUP BY band_id, band_val HAVING count(*) <= {cap}
+    ),
+    b{k}_new_capped AS (
+        SELECT nb.doc_id, nb.band_id, nb.band_val
+        FROM b{k}_new_banded nb JOIN b{k}_new_ok USING (band_id, band_val)
+    ),
+    b{k}_cand AS (
+        SELECT DISTINCT nb.doc_id, c.doc_id AS other_id
+        FROM b{k}_new_banded nb JOIN b{k}_corpus_capped c
+        USING (band_id, band_val)
+        UNION
+        SELECT DISTINCT a.doc_id, bb.doc_id AS other_id
+        FROM b{k}_new_capped a JOIN b{k}_new_capped bb
+        USING (band_id, band_val)
+        WHERE a.doc_id > bb.doc_id
+    ),
+    b{k}_dups AS (
+        SELECT DISTINCT cand.doc_id
+        FROM b{k}_cand cand
+        JOIN toks ta ON ta.doc_id = cand.doc_id
+        JOIN toks tb ON tb.doc_id = cand.other_id
+        WHERE {_INCR_JACCARD} >= {t}
+    ),
+    kept_{k}(doc_id) AS (
+        SELECT doc_id FROM kept_{k - 1}
+        UNION ALL
+        SELECT doc_id FROM b{k}_exact
+        WHERE doc_id NOT IN (SELECT doc_id FROM b{k}_dups)
+    )""")
+        # noqa: E501 — generated SQL block
+    chained = ",\n    ".join(blocks)
+    return f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+        FROM documents
+    ),
+    {_incr_tok_ctes(n)},
+    {_incr_band_ctes(num_perm, bands)},
+    ckeys AS (
+        SELECT doc_id, md5(text) || ':' || length(text)::VARCHAR AS ck
+        FROM documents
+    ),
+    {chained}
+    SELECT doc_id FROM kept_{n_batches}
 """
 
 
@@ -3746,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "cluster_metrics": q_cluster_metrics,
         "incremental_neardup": q_incremental_neardup,
+        "ingest_loop_3batch": q_ingest_loop_3batch,
         "incremental_neardup_exact": q_incremental_neardup_exact,
         "incremental_neardup_exact_full": q_incremental_neardup_exact_full,
         "imdb_person_flavor": q_imdb_person_flavor,
@@ -3815,6 +3958,7 @@ def _static_oracles() -> dict[str, str]:
         "sessionize": _Q_SESSIONIZE_SQL,
         "cluster_metrics": _Q_CLUSTER_METRICS_SQL,
         "incremental_neardup": _q_incremental_sql(),
+        "ingest_loop_3batch": _q_ingest_loop_sql(),
         "incremental_neardup_exact": _q_incremental_exact_sql(),
         "incremental_neardup_exact_full": _q_incremental_exact_sql(
             num_perm=64, bands=16

@@ -67,6 +67,10 @@ class IngestConfig:
     max_component_edges: int = 1_000_000
     band_buckets: int = 32
     compact_every: int = 1
+    # "md5" makes every hash decision replayable in DuckDB — the
+    # cross-engine gate (__spark_entry__.ingest_loop_3batch) runs the
+    # whole composed loop under it; production default stays xxhash64
+    hash_family: str = "xxhash64"
 
     def params(self) -> dict:
         return {
@@ -77,6 +81,7 @@ class IngestConfig:
             "within_batch": self.within_batch,
             "max_component_edges": self.max_component_edges,
             "compact_every": self.compact_every,
+            "hash_family": self.hash_family,
         }
 
 
@@ -163,6 +168,7 @@ def run_ingest_loop(
                 jaccard_threshold=cfg.jaccard_threshold,
                 num_perm=cfg.num_perm,
                 bands=cfg.bands,
+                hash_family=cfg.hash_family,
                 corpus_banded=corpus_bands,
                 within_batch=cfg.within_batch,
                 max_component_edges=cfg.max_component_edges,
@@ -186,7 +192,9 @@ def run_ingest_loop(
         bands_delta = ckpt.stage(
             f"bands_d{i}", stage_cfg,
             lambda kt=kept_toks_delta: band_keys(
-                minhash_signatures(kt, num_perm=cfg.num_perm),
+                minhash_signatures(
+                    kt, num_perm=cfg.num_perm, hash_family=cfg.hash_family
+                ),
                 num_perm=cfg.num_perm, bands=cfg.bands,
             ),
         )
