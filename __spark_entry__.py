@@ -2780,6 +2780,139 @@ _Q_PII_SQL = r"""
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup profile (Lee et al. ExactSubstr as
+    DataFrame algebra, operators/corpus.py): per doc, the token budget an
+    ExactSubstr cut pass would remove — maximal merged spans of 10-token
+    grams whose corpus-wide occurrence count is >= 2 (md5_60 gram hashes,
+    gaps-and-islands span merge). One row per doc incl. clean/short docs.
+    Scale: one fixed-width-key shuffle (gram count), one equi-join back,
+    one per-doc window — the same row volume as the shingle explode."""
+    from soweego_spark.operators.corpus import substring_dedup_stats
+
+    return substring_dedup_stats(_t(spark, sf_dir, "documents"), k=10)
+
+
+_SUBSTR_K = 10
+_Q_SUBSTR_SQL = f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id,
+               unnest([{{'st': gi - 1,
+                        'gh': ('0x' || substr(md5(array_to_string(
+                                  w[gi:gi+{_SUBSTR_K - 1}], ' ')), 1, 15)
+                              )::BIGINT}}
+                       FOR gi IN range(1, len(w) - {_SUBSTR_K} + 2)]) AS gu
+        FROM words
+        WHERE len(w) >= {_SUBSTR_K}
+    ),
+    grams AS (SELECT doc_id, gu.st AS st, gu.gh AS gh FROM g0),
+    dupg AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+    spans AS (
+        SELECT g.doc_id, g.st AS s, g.st + {_SUBSTR_K} AS e
+        FROM grams g JOIN dupg USING (gh)
+    ),
+    marked AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pmax
+        FROM spans
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS island
+        FROM marked
+    ),
+    sp AS (
+        SELECT doc_id, island, min(s) AS ms, max(e) AS me
+        FROM isl GROUP BY doc_id, island
+    ),
+    perdoc AS (
+        SELECT doc_id, sum(me - ms) AS dup_tokens, count(*) AS n_spans
+        FROM sp GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.w)::BIGINT AS n_tokens,
+           coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+           coalesce(p.n_spans, 0)::BIGINT AS n_spans
+    FROM words b LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/corpus.decontaminate): docs
+    with doc_id % 5 == 0 play the frozen eval set; every other doc
+    sharing >= 1 eight-token gram with it is flagged with its distinct
+    contaminated-gram count. The eval gram-hash set is broadcast (small
+    by construction at any corpus scale); the corpus side never
+    shuffles until the tiny per-doc count."""
+    from soweego_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        k=8,
+    )
+
+
+_Q_DECONTAM_SQL = """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id,
+               unnest([('0x' || substr(md5(array_to_string(
+                           w[gi:gi+7], ' ')), 1, 15))::BIGINT
+                       FOR gi IN range(1, len(w) - 8 + 2)]) AS gh
+        FROM words
+        WHERE len(w) >= 8
+    ),
+    bench AS (SELECT DISTINCT gh FROM g0 WHERE doc_id % 5 = 0)
+    SELECT g.doc_id, count(DISTINCT g.gh)::BIGINT AS hit_grams
+    FROM g0 g JOIN bench USING (gh)
+    WHERE g.doc_id % 5 <> 0
+    GROUP BY g.doc_id
+"""
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing downsample
+    (operators/corpus.stratified_sample): over-represented languages are
+    hash-Bernoulli-thinned to ~60 docs while small ones pass whole; the
+    keep decision is u < cap/n_g with u = md5_60('mix:'||doc_id)/2^60 —
+    two IEEE divisions over identical integer operands, so the exact
+    kept set replays bit-for-bit in DuckDB (no RNG, no sample())."""
+    from soweego_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), ["lang"], cap=60
+    )
+
+
+_Q_MIX_SAMPLE_SQL = """
+    WITH counts AS (
+        SELECT lang, count(*) AS n_g FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN counts USING (lang)
+    WHERE (('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 15))
+               ::BIGINT)::DOUBLE
+              / (1152921504606846976::BIGINT)::DOUBLE
+          < least(1.0::DOUBLE, (60::BIGINT)::DOUBLE / n_g::DOUBLE)
+"""
+
+
 def q_statement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 statement planning under the hash gate: the wikidata-bot
     decision matrix (operators/ingest.plan_claim_additions — add_claim vs
@@ -3885,6 +4018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statement_plan": q_statement_plan,
         "gopher_quality": q_gopher_quality,
         "pii_scrub": q_pii_scrub,
+        "substring_dedup": q_substring_dedup,
+        "decontaminate": q_decontaminate,
+        "mix_sample": q_mix_sample,
         "sessionize": q_sessionize,
         "cluster_metrics": q_cluster_metrics,
         "incremental_neardup": q_incremental_neardup,
@@ -3955,6 +4091,9 @@ def _static_oracles() -> dict[str, str]:
         "statement_plan": _Q_STATEMENT_PLAN_SQL,
         "gopher_quality": _Q_GOPHER_SQL,
         "pii_scrub": _Q_PII_SQL,
+        "substring_dedup": _Q_SUBSTR_SQL,
+        "decontaminate": _Q_DECONTAM_SQL,
+        "mix_sample": _Q_MIX_SAMPLE_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "cluster_metrics": _Q_CLUSTER_METRICS_SQL,
         "incremental_neardup": _q_incremental_sql(),

@@ -1,0 +1,222 @@
+"""Training-corpus curation operators: exact substring-level dedup,
+benchmark decontamination, and deterministic stratified mix-sampling.
+
+These extend the document-level dedup family (operators/dedup.py) with the
+three curation passes a large-scale LLM training-data pipeline runs after
+document dedup (cf. Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better" — the ExactSubstr pass; and the eval-set n-gram
+decontamination + source-mixing passes described in the GPT-3/Gopher/Pile
+dataset reports). No reference analogue — the reference (soweego) stops at
+entity records; these operate on the `documents` web-text table.
+
+All hash decisions use the 60-bit md5 prefix (dedup.md5_60) so every
+operator replays EXACTLY in the DuckDB oracle (see __spark_entry__.py).
+
+Scale notes (100 TB):
+- substring spans: one shuffle on a fixed-width 8-byte gram hash for the
+  corpus-wide count, one equi-join back, one per-doc window. Gram rows are
+  ~n_tokens per doc — the same row volume the MinHash shingle explode
+  already pays. No collect, no driver loop.
+- decontamination: the benchmark side is small by construction (eval sets
+  are MBs at any corpus scale) — distinct-hashed and broadcast; the scan
+  side never shuffles.
+- mix sampling: group histogram is |groups| rows (broadcast back); the
+  keep decision is a pure column expression — zero extra shuffles beyond
+  the tiny histogram.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from soweego_spark.operators.dedup import md5_60
+
+TWO_60 = float(1 << 60)
+
+
+def _words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, w): filtered lowercase whitespace word list — the same
+    tokenization every dedup operator uses."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
+        ).alias("w"),
+    )
+
+
+def gram_occurrences(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, s, gh): every k-token gram occurrence with its 0-based
+    token start and 60-bit hash. Docs shorter than k emit nothing (no
+    full k-gram exists). The hash is materialized in a projection BELOW
+    the explode — the gram string itself never leaves the expression
+    (and no O(array) sibling rides next to the generator; see the CC
+    degree-quadratic note in CLAUDE.md).
+
+    The sequence end is greatest-clamped to 0 even though short docs are
+    filtered out: InferFiltersFromGenerate pushes a size(transform(...))
+    > 0 conjunct down NEXT TO the size guard, where it can evaluate the
+    transform on unfiltered rows — an unclamped sequence(0, size-k) goes
+    DESCENDING for size < k and slice(w, 0, k) throws under ANSI. The
+    clamp makes the expression total; the size>=k filter still excludes
+    the row, so no partial gram ever survives (and a partial gram string
+    can't collide with a full one anyway — fewer than k-1 spaces)."""
+    w = _words(docs, id_col, text_col).where(F.size("w") >= k)
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
+        lambda i: md5_60(F.concat_ws(" ", F.slice("w", i + 1, k))),
+    )
+    return (
+        w.select("doc_id", hashes.alias("ghs"))
+        .select("doc_id", F.posexplode("ghs").alias("s", "gh"))
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    max_count: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring dedup, span-detection half (Lee et al. ExactSubstr
+    re-expressed as DataFrame algebra): every maximal token span covered
+    by k-grams whose CORPUS-WIDE occurrence count is >= min_count.
+
+    Returns (doc_id, span_start, span_end) with 0-based token indices,
+    end exclusive; overlapping/adjacent duplicated grams are merged into
+    maximal spans via a gaps-and-islands window (ordering (doc_id, s) is
+    total — one row per gram start). A repeat WITHIN one doc counts, as
+    in the paper. ``max_count`` optionally ignores ultra-hot grams
+    (boilerplate) — at web scale the hot-gram histogram is the same
+    broadcast-anti shape as the band caps in dedup.py.
+    """
+    grams = gram_occurrences(docs, k, id_col, text_col)
+    counts = grams.groupBy("gh").agg(F.count("*").alias("c"))
+    dup = counts.where(F.col("c") >= min_count)
+    if max_count is not None:
+        dup = dup.where(F.col("c") <= max_count)
+    spans = grams.join(dup.select("gh"), "gh").select(
+        "doc_id", F.col("s"), (F.col("s") + k).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    isl = marked.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("s").cast("long").alias("span_start"),
+        F.max("e").cast("long").alias("span_end"),
+    ).drop("island")
+
+
+def substring_dedup_stats(
+    docs: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    max_count: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc substring-duplication profile: (doc_id, n_tokens,
+    dup_tokens, n_spans), one row per input doc (0s when clean or shorter
+    than k). dup_tokens is the merged-span token count — the removal
+    budget an ExactSubstr cut pass would take from this doc."""
+    base = _words(docs, id_col, text_col).select(
+        "doc_id", F.size("w").cast("long").alias("n_tokens")
+    )
+    per_doc = (
+        duplicated_spans(docs, k, min_count, max_count, id_col, text_col)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.count("*").cast("long").alias("n_spans"),
+        )
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, hit_grams) for every training
+    doc sharing at least one k-token gram with the benchmark set —
+    hit_grams counts the DISTINCT contaminated grams in the doc.
+
+    The benchmark side is reduced to distinct gram hashes and BROADCAST
+    (eval sets stay small at any corpus scale — this is the under-cap
+    side that is safe to broadcast, unlike a vocabulary keep-list); the
+    corpus side streams through a map-side semi join, so the only
+    shuffle is the per-doc distinct-count aggregation over matched rows.
+    """
+    bench = (
+        gram_occurrences(bench_docs, k, id_col, text_col)
+        .select("gh")
+        .distinct()
+    )
+    hits = gram_occurrences(docs, k, id_col, text_col).join(
+        F.broadcast(bench), "gh"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("gh").cast("long").alias("hit_grams")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    salt: str = "mix",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixing downsample: keep each doc of group g
+    with probability min(1, cap / n_g), decided by the doc's own 60-bit
+    hash — so over-represented groups shrink to ~cap docs while small
+    groups pass through whole, and the SAME rows are kept on every run,
+    on any cluster, at any partitioning (no RNG, no sample()).
+
+    The keep test is u < p with u = md5_60(salt ':' doc_id) / 2^60 and
+    p = cap / n_g: both are single IEEE divisions over identical integer
+    operands, so the decision replays bit-exactly in the DuckDB oracle
+    (the CLAUDE.md cross-engine double rule; /2^60 is exact, and the
+    int->double rounding of the operands is identical in both engines).
+    Group counts are a |groups|-row aggregate joined back via broadcast.
+    """
+    counts = docs.groupBy(*group_cols).agg(F.count("*").alias("n_g"))
+    u = md5_60(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    ).cast("double") / F.lit(TWO_60)
+    p = F.least(
+        F.lit(1.0), F.lit(float(cap)) / F.col("n_g").cast("double")
+    )
+    return (
+        docs.join(F.broadcast(counts), group_cols)
+        .where(u < p)
+        .select(id_col, *group_cols)
+    )

@@ -1,0 +1,227 @@
+"""Corpus-curation operator oracles (operators/corpus.py): substring-level
+dedup spans, benchmark decontamination, deterministic stratified sampling.
+
+The driver gate (`substring_dedup` / `decontaminate` / `mix_sample` in
+__spark_entry__.py) hash-checks each against DuckDB on the synthetic
+documents table; these tests carry the SEMANTICS on planted shapes — span
+merging, within-doc repeats, short docs, the hot-gram cap, broadcast-side
+correctness, and the hash-Bernoulli keep rule replayed in pure Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from soweego_spark.operators.corpus import (
+    decontaminate,
+    duplicated_spans,
+    gram_occurrences,
+    stratified_sample,
+    substring_dedup_stats,
+)
+
+
+def _doc(doc_id: int, words: list[str]):
+    return (doc_id, " ".join(words))
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_span_is_merged_maximal(spark):
+    """Two docs sharing a 12-token run with k=10 produce 3 overlapping
+    gram starts each — merged to ONE maximal span of exactly 12 tokens,
+    placed at the right offsets in both docs."""
+    shared = [f"s{i}" for i in range(12)]
+    a = [f"a{i}" for i in range(5)] + shared + [f"a{i}" for i in range(5, 9)]
+    b = [f"b{i}" for i in range(2)] + shared + [f"b{i}" for i in range(2, 10)]
+    spans = duplicated_spans(
+        _mk(spark, [_doc(1, a), _doc(2, b)]), k=10
+    ).collect()
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in spans}
+    assert got == {(1, 5, 17), (2, 2, 14)}
+
+
+def test_within_doc_repeat_counts(spark):
+    """A k-gram repeated INSIDE one doc is a duplicate (Lee et al.
+    semantics: any second occurrence), even with no other doc."""
+    g = [f"g{i}" for i in range(10)]
+    words = g + ["mid1", "mid2"] + g
+    st = substring_dedup_stats(_mk(spark, [_doc(7, words)]), k=10).collect()
+    assert len(st) == 1
+    r = st[0]
+    assert (r["n_tokens"], r["dup_tokens"], r["n_spans"]) == (22, 20, 2)
+
+
+def test_short_and_clean_docs_report_zero(spark):
+    """Docs shorter than k and docs with unique text still get a stats
+    row, with zero dup budget."""
+    st = {
+        r["doc_id"]: r
+        for r in substring_dedup_stats(
+            _mk(
+                spark,
+                [
+                    _doc(1, ["only", "three", "words"]),
+                    _doc(2, [f"u{i}" for i in range(30)]),
+                ],
+            ),
+            k=10,
+        ).collect()
+    }
+    assert st[1]["n_tokens"] == 3 and st[1]["dup_tokens"] == 0
+    assert st[2]["n_tokens"] == 30 and st[2]["dup_tokens"] == 0
+    assert st[2]["n_spans"] == 0
+
+
+def test_hot_gram_cap_excludes_boilerplate(spark):
+    """max_count drops grams above the cap (template boilerplate) from
+    span detection while keeping ordinary duplicates."""
+    boiler = [f"x{i}" for i in range(10)]
+    pair = [f"p{i}" for i in range(10)]
+    rows = [_doc(i, boiler) for i in range(5)]  # gram count 5
+    rows += [_doc(10, pair), _doc(11, pair)]  # gram count 2
+    uncapped = duplicated_spans(_mk(spark, rows), k=10).collect()
+    assert {r["doc_id"] for r in uncapped} == {0, 1, 2, 3, 4, 10, 11}
+    capped = duplicated_spans(_mk(spark, rows), k=10, max_count=4).collect()
+    assert {r["doc_id"] for r in capped} == {10, 11}
+
+
+def test_spans_match_python_oracle_random(spark):
+    """On random small-vocab docs (dense collisions), the distributed
+    span set equals a brute-force Python replay: positions covered by
+    any corpus-repeated k-gram, merged into maximal runs."""
+    rng = random.Random(606)
+    k = 4
+    docs = {
+        i: [f"w{rng.randrange(6)}" for _ in range(rng.randrange(3, 40))]
+        for i in range(25)
+    }
+    from collections import Counter
+
+    cnt = Counter()
+    for w in docs.values():
+        for s in range(len(w) - k + 1):
+            cnt[" ".join(w[s:s + k])] += 1
+    expect = set()
+    for i, w in docs.items():
+        covered = sorted(
+            {
+                t
+                for s in range(len(w) - k + 1)
+                if cnt[" ".join(w[s:s + k])] >= 2
+                for t in range(s, s + k)
+            }
+        )
+        run_start = None
+        prev = None
+        for t in covered + [None]:
+            if run_start is None:
+                run_start = t
+            elif t is None or t != prev + 1:
+                expect.add((i, run_start, prev + 1))
+                run_start = t
+            prev = t
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(
+            _mk(spark, [_doc(i, w) for i, w in docs.items()]), k=k
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Only docs sharing a k-gram with the bench set are flagged;
+    hit_grams counts DISTINCT contaminated grams."""
+    leak = [f"l{i}" for i in range(9)]  # 9 words -> two 8-grams
+    bench = _mk(spark, [_doc(100, leak)])
+    train = _mk(
+        spark,
+        [
+            _doc(1, ["pre"] + leak + ["post"]),  # both bench grams
+            _doc(2, leak[:8]),                   # first bench gram only
+            _doc(3, [f"c{i}" for i in range(20)]),  # clean
+            _doc(4, ["tiny"]),                   # shorter than k
+        ],
+    )
+    got = {
+        r["doc_id"]: r["hit_grams"]
+        for r in decontaminate(train, bench, k=8).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_decontaminate_plan_broadcasts_bench(spark):
+    """The bench gram set must be the broadcast side — the corpus side
+    must not shuffle for the semi join."""
+    bench = _mk(spark, [_doc(100, [f"l{i}" for i in range(9)])])
+    train = _mk(spark, [_doc(1, [f"t{i}" for i in range(9)])])
+    plan = decontaminate(train, bench, k=8)._sc._jvm.PythonSQLUtils.explainString(
+        decontaminate(train, bench, k=8)._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def _md5_60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf8")).hexdigest()[:15], 16)
+
+
+def test_stratified_sample_matches_python_rule(spark):
+    """The exact kept set equals the pure-Python replay of
+    u = md5_60('mix:'||id)/2^60 < cap/n_g, and small groups pass whole."""
+    rows = [(i, "big") for i in range(200)] + [
+        (1000 + i, "small") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    cap = 40
+    kept = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, ["grp"], cap=cap, salt="mix"
+        ).collect()
+    }
+    expect = set()
+    for doc_id, grp in rows:
+        n_g = 200 if grp == "big" else 10
+        u = float(_md5_60_py(f"mix:{doc_id}")) / float(1 << 60)
+        if u < min(1.0, cap / n_g):
+            expect.add(doc_id)
+    assert kept == expect
+    assert {i for i in kept if i >= 1000} == set(range(1000, 1010))
+    big_kept = len([i for i in kept if i < 1000])
+    assert 20 <= big_kept <= 60  # Bernoulli around 40 of 200
+
+
+def test_stratified_sample_deterministic_across_runs(spark):
+    """Same input, same salt -> identical kept rows, independent of
+    partitioning."""
+    rows = [(i, f"g{i % 3}") for i in range(120)]
+    df1 = spark.createDataFrame(rows, "doc_id long, grp string")
+    df2 = spark.createDataFrame(rows, "doc_id long, grp string").repartition(7)
+    k1 = sorted(
+        r["doc_id"] for r in stratified_sample(df1, ["grp"], 15).collect()
+    )
+    k2 = sorted(
+        r["doc_id"] for r in stratified_sample(df2, ["grp"], 15).collect()
+    )
+    assert k1 == k2
+
+
+def test_gram_occurrences_shapes(spark):
+    """Gram frame basics: 0-based starts, one row per occurrence,
+    nothing for docs shorter than k."""
+    g = gram_occurrences(
+        _mk(spark, [_doc(1, ["a", "b", "a", "b"]), _doc(2, ["a"])]), k=2
+    )
+    rows = g.collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert sorted(r["s"] for r in rows) == [0, 1, 2]
+    by_start = {r["s"]: r["gh"] for r in rows}
+    assert by_start[0] == by_start[2]  # "a b" twice
+    assert by_start[0] != by_start[1]
