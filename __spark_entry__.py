@@ -2794,8 +2794,13 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SUBSTR_K = 10
-_Q_SUBSTR_SQL = f"""
-    WITH words AS (
+
+
+def _substr_span_ctes(k: int = _SUBSTR_K) -> str:
+    """Shared CTE text words -> grams -> duplicated merged spans `sp`
+    (doc_id, island, ms, me): the DuckDB half of duplicated_spans —
+    60-bit md5 gram hashes, count >= 2, gaps-and-islands merge."""
+    return f"""words AS (
         SELECT doc_id,
                list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
         FROM documents
@@ -2804,16 +2809,16 @@ _Q_SUBSTR_SQL = f"""
         SELECT doc_id,
                unnest([{{'st': gi - 1,
                         'gh': ('0x' || substr(md5(array_to_string(
-                                  w[gi:gi+{_SUBSTR_K - 1}], ' ')), 1, 15)
+                                  w[gi:gi+{k - 1}], ' ')), 1, 15)
                               )::BIGINT}}
-                       FOR gi IN range(1, len(w) - {_SUBSTR_K} + 2)]) AS gu
+                       FOR gi IN range(1, len(w) - {k} + 2)]) AS gu
         FROM words
-        WHERE len(w) >= {_SUBSTR_K}
+        WHERE len(w) >= {k}
     ),
     grams AS (SELECT doc_id, gu.st AS st, gu.gh AS gh FROM g0),
     dupg AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
     spans AS (
-        SELECT g.doc_id, g.st AS s, g.st + {_SUBSTR_K} AS e
+        SELECT g.doc_id, g.st AS s, g.st + {k} AS e
         FROM grams g JOIN dupg USING (gh)
     ),
     marked AS (
@@ -2834,7 +2839,11 @@ _Q_SUBSTR_SQL = f"""
     sp AS (
         SELECT doc_id, island, min(s) AS ms, max(e) AS me
         FROM isl GROUP BY doc_id, island
-    ),
+    )"""
+
+
+_Q_SUBSTR_SQL = f"""
+    WITH {_substr_span_ctes()},
     perdoc AS (
         SELECT doc_id, sum(me - ms) AS dup_tokens, count(*) AS n_spans
         FROM sp GROUP BY doc_id
@@ -2844,6 +2853,46 @@ _Q_SUBSTR_SQL = f"""
            coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
            coalesce(p.n_spans, 0)::BIGINT AS n_spans
     FROM words b LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr CUT pass itself (corpus.cut_duplicated_spans):
+    per doc, the cleaned single-space-joined token stream with every
+    duplicated span removed, plus the removed-token count. The whole
+    rewritten corpus is value-hashed against DuckDB's rebuild (position
+    anti-join on the same merged spans, string_agg ordered by position)
+    — so the gate pins the exact output text, not just counts."""
+    from soweego_spark.operators.corpus import cut_duplicated_spans
+
+    return cut_duplicated_spans(_t(spark, sf_dir, "documents"), k=10)
+
+
+_Q_SUBSTR_CUT_SQL = f"""
+    WITH {_substr_span_ctes()},
+    pos AS (
+        SELECT doc_id, unnest(range(len(w))) AS p FROM words
+    ),
+    kept AS (
+        SELECT po.doc_id, po.p FROM pos po
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sp
+            WHERE sp.doc_id = po.doc_id AND po.p >= sp.ms AND po.p < sp.me
+        )
+    ),
+    toksel AS (
+        SELECT ke.doc_id, ke.p, wo.w[ke.p + 1] AS tok
+        FROM kept ke JOIN words wo USING (doc_id)
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+               count(*) AS n_kept
+        FROM toksel GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(r.text_clean, '') AS text_clean,
+           (len(b.w) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+    FROM words b LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
@@ -4019,6 +4068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "pii_scrub": q_pii_scrub,
         "substring_dedup": q_substring_dedup,
+        "substring_dedup_cut": q_substring_dedup_cut,
         "decontaminate": q_decontaminate,
         "mix_sample": q_mix_sample,
         "sessionize": q_sessionize,
@@ -4092,6 +4142,7 @@ def _static_oracles() -> dict[str, str]:
         "gopher_quality": _Q_GOPHER_SQL,
         "pii_scrub": _Q_PII_SQL,
         "substring_dedup": _Q_SUBSTR_SQL,
+        "substring_dedup_cut": _Q_SUBSTR_CUT_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
         "mix_sample": _Q_MIX_SAMPLE_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,

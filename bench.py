@@ -116,8 +116,17 @@ ROUND5_QUERIES = [
     # the distributed local-minima join rounds (the r5 scale path)
     "incremental_neardup_exact_full",
 ]
+ROUND6_QUERIES = [
+    # ExactSubstr cut pass: gram-count shuffle + span windows + the
+    # rewrite join — the corpus-curation headline
+    "substring_dedup_cut",
+]
 BENCH_QUERIES = (
-    BENCH_QUERIES + ROUND3_QUERIES + ROUND4_QUERIES + ROUND5_QUERIES
+    BENCH_QUERIES
+    + ROUND3_QUERIES
+    + ROUND4_QUERIES
+    + ROUND5_QUERIES
+    + ROUND6_QUERIES
 )
 
 
@@ -256,13 +265,15 @@ def main() -> None:
                     sum(v for k, v in warm.items()
                         if k not in ROUND3_QUERIES
                         and k not in ROUND4_QUERIES
-                        and k not in ROUND5_QUERIES), 2
+                        and k not in ROUND5_QUERIES
+                        and k not in ROUND6_QUERIES), 2
                 ),
                 "shared_r2_wall_cold_seconds": round(
                     sum(v for k, v in cold.items()
                         if k not in ROUND3_QUERIES
                         and k not in ROUND4_QUERIES
-                        and k not in ROUND5_QUERIES), 2
+                        and k not in ROUND5_QUERIES
+                        and k not in ROUND6_QUERIES), 2
                 ),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in warm.items()},

@@ -158,6 +158,54 @@ def substring_dedup_stats(
     )
 
 
+def cut_duplicated_spans(
+    docs: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    max_count: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr cut pass: (doc_id, text_clean, n_removed) with every
+    duplicated span removed from the token stream (the remove-all-covered
+    policy — the span set is exactly duplicated_spans').
+
+    The per-doc span list is collected into an array column (bounded:
+    spans are disjoint maximal intervals, so |spans| <= n_tokens / k) and
+    each token is kept unless some span covers its position — a nested
+    filter/exists HOF pair, O(n_tokens * n_spans) per row, no explode and
+    no second shuffle beyond duplicated_spans' own. Tokens re-join with
+    single spaces (whitespace is not preserved — the operator is defined
+    over the same lowercase token stream every dedup operator uses)."""
+    span_sets = (
+        duplicated_spans(docs, k, min_count, max_count, id_col, text_col)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+        )
+    )
+    empty = F.array().cast(
+        "array<struct<span_start:bigint,span_end:bigint>>"
+    )
+    joined = (
+        _words(docs, id_col, text_col)
+        .join(span_sets, "doc_id", "left")
+        .select("doc_id", "w", F.coalesce("sp", empty).alias("sp"))
+    )
+    kept = F.filter(
+        "w",
+        lambda tok, i: ~F.exists(
+            "sp",
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("text_clean"),
+        (F.size("w") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench_docs: DataFrame,

@@ -17,6 +17,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from soweego_spark.operators.corpus import (
+    cut_duplicated_spans,
     decontaminate,
     duplicated_spans,
     gram_occurrences,
@@ -134,6 +135,44 @@ def test_spans_match_python_oracle_random(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_cut_removes_exactly_the_spans(spark):
+    """The cut pass removes exactly duplicated_spans' token positions,
+    keeps order, and re-joins with single spaces; clean docs and docs
+    losing everything both round-trip."""
+    shared = [f"s{i}" for i in range(12)]
+    a = ["a0", "a1"] + shared + ["a2"]
+    b = shared  # whole doc duplicated -> text_clean ''
+    c = [f"c{i}" for i in range(15)]  # clean
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in cut_duplicated_spans(
+            _mk(spark, [_doc(1, a), _doc(2, b), _doc(3, c)]), k=10
+        ).collect()
+    }
+    assert got[1] == ("a0 a1 a2", 12)
+    assert got[2] == ("", 12)
+    assert got[3] == (" ".join(c), 0)
+
+
+def test_cut_consistent_with_stats(spark):
+    """n_removed == dup_tokens for every doc on random colliding docs."""
+    rng = random.Random(99)
+    rows = [
+        _doc(i, [f"w{rng.randrange(5)}" for _ in range(rng.randrange(3, 30))])
+        for i in range(30)
+    ]
+    df = _mk(spark, rows)
+    stats = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in substring_dedup_stats(df, k=4).collect()
+    }
+    cut = {
+        r["doc_id"]: r["n_removed"]
+        for r in cut_duplicated_spans(df, k=4).collect()
+    }
+    assert cut == stats
 
 
 def test_decontaminate_planted_overlap(spark):
