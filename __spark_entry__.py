@@ -2896,6 +2896,35 @@ _Q_SUBSTR_CUT_SQL = f"""
 """
 
 
+def q_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingestion face of ExactSubstr
+    (corpus.duplicated_spans_incremental): even doc_ids are the already-
+    ingested corpus — reduced to its persisted gram-count state
+    (corpus.gram_counts; counts only, no text) — and odd doc_ids are the
+    new batch; a batch gram is duplicated iff in-batch + corpus count
+    >= 2. The oracle is the MONOLITHIC span computation restricted to
+    the batch's docs: hash-matching proves the split state+batch path
+    decides identically to rescanning the whole corpus — the exact
+    equivalence the incremental operator claims."""
+    from soweego_spark.operators.corpus import (
+        duplicated_spans_incremental,
+        gram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    state = gram_counts(docs.where(F.col("doc_id") % 2 == 0), k=10)
+    return duplicated_spans_incremental(
+        docs.where(F.col("doc_id") % 2 == 1), state, k=10
+    )
+
+
+_Q_SUBSTR_INCR_SQL = f"""
+    WITH {_substr_span_ctes()}
+    SELECT doc_id, ms::BIGINT AS span_start, me::BIGINT AS span_end
+    FROM sp WHERE doc_id % 2 = 1
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/corpus.decontaminate): docs
     with doc_id % 5 == 0 play the frozen eval set; every other doc
@@ -4069,6 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "substring_dedup": q_substring_dedup,
         "substring_dedup_cut": q_substring_dedup_cut,
+        "substring_dedup_incremental": q_substring_dedup_incremental,
         "decontaminate": q_decontaminate,
         "mix_sample": q_mix_sample,
         "sessionize": q_sessionize,
@@ -4143,6 +4173,7 @@ def _static_oracles() -> dict[str, str]:
         "pii_scrub": _Q_PII_SQL,
         "substring_dedup": _Q_SUBSTR_SQL,
         "substring_dedup_cut": _Q_SUBSTR_CUT_SQL,
+        "substring_dedup_incremental": _Q_SUBSTR_INCR_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
         "mix_sample": _Q_MIX_SAMPLE_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,

@@ -105,6 +105,13 @@ def duplicated_spans(
     spans = grams.join(dup.select("gh"), "gh").select(
         "doc_id", F.col("s"), (F.col("s") + k).alias("e")
     )
+    return _merge_spans(spans)
+
+
+def _merge_spans(spans: DataFrame) -> DataFrame:
+    """(doc_id, s, e) gram-cover intervals -> maximal merged
+    (doc_id, span_start, span_end) via gaps-and-islands; (doc_id, s) is
+    unique so the window ordering is total."""
     w = Window.partitionBy("doc_id").orderBy("s")
     prev_max = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -123,6 +130,74 @@ def duplicated_spans(
         F.min("s").cast("long").alias("span_start"),
         F.max("e").cast("long").alias("span_end"),
     ).drop("island")
+
+
+def gram_counts(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(gh, c): corpus gram-count state — the persisted table the
+    incremental ExactSubstr face probes and folds. At scale this is the
+    analogue of the MinHash band table: fixed-width 8-byte keys, written
+    bucketed by gh so per-batch probes and folds co-locate."""
+    return (
+        gram_occurrences(docs, k, id_col, text_col)
+        .groupBy("gh")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def fold_gram_counts(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a batch's gram counts into the persisted state: union +
+    re-aggregate on the bucketed key (Exchange-free when both sides are
+    bucketed by gh, like the band-table fold in plans/ingest_loop)."""
+    return (
+        state.unionByName(delta)
+        .groupBy("gh")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def duplicated_spans_incremental(
+    new_docs: DataFrame,
+    corpus_counts: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    max_count: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The continuous-ingestion face of ExactSubstr: duplicated spans of
+    the NEW batch only, where a gram is duplicated iff its in-batch
+    occurrence count PLUS its count in the persisted corpus state
+    (gram_counts/fold_gram_counts) reaches min_count — so a new doc
+    repeating a span the corpus has seen once is flagged even when the
+    span is unique within the batch, matching what a monolithic
+    duplicated_spans over corpus+batch would decide for the batch's docs.
+
+    One aggregate over the batch's grams, one equi-join against the
+    state (bucket-local when the state table is bucketed by gh), then
+    the same island merge. The corpus state is counts only — no corpus
+    text is ever rescanned.
+    """
+    grams = gram_occurrences(new_docs, k, id_col, text_col)
+    own = grams.groupBy("gh").agg(F.count("*").alias("own_c"))
+    total = (
+        own.join(corpus_counts.select("gh", "c"), "gh", "left")
+        .select(
+            "gh",
+            (F.col("own_c") + F.coalesce("c", F.lit(0))).alias("tc"),
+        )
+    )
+    dup = total.where(F.col("tc") >= min_count)
+    if max_count is not None:
+        dup = dup.where(F.col("tc") <= max_count)
+    spans = grams.join(dup.select("gh"), "gh").select(
+        "doc_id", F.col("s"), (F.col("s") + k).alias("e")
+    )
+    return _merge_spans(spans)
 
 
 def substring_dedup_stats(

@@ -20,6 +20,9 @@ from soweego_spark.operators.corpus import (
     cut_duplicated_spans,
     decontaminate,
     duplicated_spans,
+    duplicated_spans_incremental,
+    fold_gram_counts,
+    gram_counts,
     gram_occurrences,
     stratified_sample,
     substring_dedup_stats,
@@ -250,6 +253,87 @@ def test_stratified_sample_deterministic_across_runs(spark):
         r["doc_id"] for r in stratified_sample(df2, ["grp"], 15).collect()
     )
     assert k1 == k2
+
+
+def _span_set(df):
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in df.collect()
+    }
+
+
+def test_incremental_flags_corpus_seen_span(spark):
+    """A new doc repeating a span the corpus saw ONCE is flagged even
+    though it is unique within the batch; batch-unique unseen spans are
+    not."""
+    seen = [f"s{i}" for i in range(10)]
+    corpus = _mk(spark, [_doc(1, seen + ["c0", "c1"])])
+    batch = _mk(
+        spark,
+        [
+            _doc(10, ["n0"] + seen),          # corpus-seen -> flagged
+            _doc(11, [f"u{i}" for i in range(12)]),  # unseen, unique
+        ],
+    )
+    got = _span_set(
+        duplicated_spans_incremental(batch, gram_counts(corpus, k=10), k=10)
+    )
+    assert got == {(10, 1, 11)}
+
+
+def test_incremental_equals_monolithic_over_batches(spark):
+    """Fold batches through gram_counts state: each batch's incremental
+    spans equal the monolithic duplicated_spans over ALL docs ingested
+    so far, restricted to that batch — the operator's core claim."""
+    rng = random.Random(77)
+    k = 4
+    batches = []
+    next_id = 0
+    for _ in range(3):
+        rows = []
+        for _ in range(12):
+            rows.append(
+                _doc(
+                    next_id,
+                    [f"w{rng.randrange(5)}"
+                     for _ in range(rng.randrange(3, 25))],
+                )
+            )
+            next_id += 1
+        batches.append(rows)
+    state = None
+    seen_rows: list = []
+    for rows in batches:
+        batch = _mk(spark, rows)
+        if state is None:
+            empty = _mk(spark, [])
+            state = gram_counts(empty, k=k)
+        inc = _span_set(duplicated_spans_incremental(batch, state, k=k))
+        seen_rows = seen_rows + rows
+        ids = {d for d, _ in rows}
+        mono = {
+            t
+            for t in _span_set(duplicated_spans(_mk(spark, seen_rows), k=k))
+            if t[0] in ids
+        }
+        assert inc == mono
+        state = fold_gram_counts(state, gram_counts(batch, k=k))
+
+
+def test_fold_gram_counts_equals_monolithic(spark):
+    """state fold over two batches == gram_counts over the union."""
+    a = _mk(spark, [_doc(1, ["x", "y", "z", "x", "y"])])
+    b = _mk(spark, [_doc(2, ["x", "y", "q", "r"])])
+    folded = {
+        (r["gh"], r["c"])
+        for r in fold_gram_counts(
+            gram_counts(a, k=2), gram_counts(b, k=2)
+        ).collect()
+    }
+    mono = {
+        (r["gh"], r["c"])
+        for r in gram_counts(a.unionByName(b), k=2).collect()
+    }
+    assert folded == mono
 
 
 def test_gram_occurrences_shapes(spark):
