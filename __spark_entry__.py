@@ -2991,6 +2991,58 @@ _Q_MIX_SAMPLE_SQL = """
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training (operators/corpus.pack_sequences):
+    hash-shard the corpus (md5_60('pack:'||doc_id) % 8), concatenate each
+    shard's token streams in doc_id order, chunk into 128-token training
+    rows GPT-style (docs straddle boundaries). The gate pins the FULL
+    segment map — which tokens of which doc fill which positions of which
+    sequence — so the packing is proven a pure function of the data. No
+    global sort: one Exchange on the shard key + one per-shard window
+    cumsum; n_shards is the scale/parallelism knob."""
+    from soweego_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=128, n_shards=8
+    )
+
+
+_Q_PACK_SEQ_SQL = """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, len(w)::BIGINT AS n,
+               ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))
+                   ::BIGINT % 8 AS shard
+        FROM words WHERE len(w) >= 1
+    ),
+    ofs AS (
+        SELECT shard, doc_id, n,
+               coalesce(sum(n) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0)::BIGINT AS st
+        FROM sized
+    ),
+    segs AS (
+        SELECT shard, doc_id, st, st + n AS en,
+               unnest(range(st // 128, (st + n - 1) // 128 + 1)) AS seq_no
+        FROM ofs
+    )
+    SELECT shard::BIGINT AS shard,
+           seq_no::BIGINT AS seq_no,
+           doc_id,
+           (greatest(st, seq_no * 128) - st)::BIGINT AS tok_offset,
+           (greatest(st, seq_no * 128) - seq_no * 128)::BIGINT AS seg_start,
+           (least(en, (seq_no + 1) * 128)
+               - greatest(st, seq_no * 128))::BIGINT AS seg_len
+    FROM segs
+"""
+
+
 def q_statement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 statement planning under the hash gate: the wikidata-bot
     decision matrix (operators/ingest.plan_claim_additions — add_claim vs
@@ -4101,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_incremental": q_substring_dedup_incremental,
         "decontaminate": q_decontaminate,
         "mix_sample": q_mix_sample,
+        "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
         "cluster_metrics": q_cluster_metrics,
         "incremental_neardup": q_incremental_neardup,
@@ -4176,6 +4229,7 @@ def _static_oracles() -> dict[str, str]:
         "substring_dedup_incremental": _Q_SUBSTR_INCR_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
         "mix_sample": _Q_MIX_SAMPLE_SQL,
+        "pack_sequences": _Q_PACK_SEQ_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "cluster_metrics": _Q_CLUSTER_METRICS_SQL,
         "incremental_neardup": _q_incremental_sql(),

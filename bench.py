@@ -120,6 +120,8 @@ ROUND6_QUERIES = [
     # ExactSubstr cut pass: gram-count shuffle + span windows + the
     # rewrite join — the corpus-curation headline
     "substring_dedup_cut",
+    # sequence packing: one shard Exchange + per-shard window cumsum
+    "pack_sequences",
 ]
 BENCH_QUERIES = (
     BENCH_QUERIES

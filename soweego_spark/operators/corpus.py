@@ -281,6 +281,85 @@ def cut_duplicated_spans(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    salt: str = "pack",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for LLM training: concatenate the token streams of
+    all docs (deterministic order) and chunk into fixed ``seq_len``-token
+    training rows, GPT-style (documents may straddle a boundary; nothing
+    is padded or dropped except empty docs). Returns the full segment map
+    (shard, seq_no, doc_id, tok_offset, seg_start, seg_len): tokens
+    [tok_offset, tok_offset + seg_len) of doc ``doc_id`` fill positions
+    [seg_start, seg_start + seg_len) of training sequence
+    (shard, seq_no). Segments of one doc are contiguous across
+    consecutive seq_nos, every sequence except each shard's last holds
+    exactly seq_len tokens, and the map is a pure function of the data —
+    identical on any cluster at any partitioning.
+
+    Packing needs a total order, but a GLOBAL sort is a non-starter at
+    100 TB — so docs are hash-sharded (md5_60(salt:doc_id) % n_shards)
+    and each shard packs independently: one Exchange on the shard key,
+    one per-shard window cumsum. n_shards is the parallelism knob — size
+    it so a shard's token stream fits one task comfortably (100 TB /
+    100k shards = 1 GB/shard). The window runs one task per shard; the
+    cumsum itself is O(rows in shard).
+
+    The explode's input sequence is clamped ascending (last >= first)
+    so the expression stays total if InferFiltersFromGenerate evaluates
+    it on rows the n >= 1 guard excludes (CLAUDE.md round-6 note).
+    """
+    L = int(seq_len)
+    w = _words(docs, id_col, text_col).select(
+        "doc_id", F.size("w").cast("long").alias("n")
+    ).where(F.col("n") >= 1)
+    shard = F.pmod(
+        md5_60(
+            F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))
+        ),
+        F.lit(n_shards),
+    ).cast("long")
+    win = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ofs = (
+        w.withColumn("shard", shard)
+        .withColumn("st", F.coalesce(F.sum("n").over(win), F.lit(0)))
+        .withColumn("en", F.col("st") + F.col("n"))
+    )
+    first = F.expr(f"st DIV {L}")
+    last = F.expr(f"(en - 1) DIV {L}")
+    seqs = ofs.select(
+        "shard",
+        "doc_id",
+        "st",
+        "en",
+        first.alias("f"),
+        F.greatest(last, first).alias("l"),
+    )
+    e = seqs.select(
+        "shard",
+        "doc_id",
+        "st",
+        "en",
+        F.explode(F.sequence("f", "l")).alias("seq_no"),
+    )
+    seg_lo = F.greatest(F.col("st"), F.col("seq_no") * L)
+    seg_hi = F.least(F.col("en"), (F.col("seq_no") + 1) * L)
+    return e.select(
+        "shard",
+        F.col("seq_no").cast("long").alias("seq_no"),
+        "doc_id",
+        (seg_lo - F.col("st")).cast("long").alias("tok_offset"),
+        (seg_lo - F.col("seq_no") * L).cast("long").alias("seg_start"),
+        (seg_hi - seg_lo).cast("long").alias("seg_len"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench_docs: DataFrame,

@@ -348,3 +348,107 @@ def test_gram_occurrences_shapes(spark):
     by_start = {r["s"]: r["gh"] for r in rows}
     assert by_start[0] == by_start[2]  # "a b" twice
     assert by_start[0] != by_start[1]
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — GPT-style sequence packing (segment map)
+# ---------------------------------------------------------------------------
+
+
+def _pack_py(rows, seq_len, n_shards, salt="pack"):
+    """Pure-Python replay of the packing rule: hash-shard, concatenate in
+    doc_id order, chunk at seq_len — returns the expected segment set."""
+    from soweego_spark.operators.dedup import md5_60_py
+
+    segs = set()
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in rows:
+        n = len([w for w in text.lower().split(" ") if w])
+        if n < 1:
+            continue
+        sh = md5_60_py(f"{salt}:{doc_id}") % n_shards
+        by_shard.setdefault(sh, []).append((doc_id, n))
+    for sh, docs in by_shard.items():
+        pos = 0
+        for doc_id, n in sorted(docs):
+            st, en = pos, pos + n
+            for seq_no in range(st // seq_len, (en - 1) // seq_len + 1):
+                lo = max(st, seq_no * seq_len)
+                hi = min(en, (seq_no + 1) * seq_len)
+                segs.add(
+                    (sh, seq_no, doc_id, lo - st, lo - seq_no * seq_len,
+                     hi - lo)
+                )
+            pos = en
+    return segs
+
+
+def test_pack_matches_python_replay(spark):
+    """Random small corpus: the Spark segment map equals the pure-Python
+    replay of the rule (shard → doc_id order → chunk), including docs
+    that straddle several sequence boundaries and empty docs dropped."""
+    from soweego_spark.operators.corpus import pack_sequences
+
+    rng = random.Random(42)
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(rng.randint(0, 23))))
+        for i in range(60)
+    ]
+    got = {
+        tuple(r)
+        for r in pack_sequences(
+            _mk(spark, rows), seq_len=8, n_shards=3
+        ).collect()
+    }
+    assert got == _pack_py(rows, seq_len=8, n_shards=3)
+
+
+def test_pack_sequences_are_full_and_tiled(spark):
+    """Every sequence except each shard's last holds exactly seq_len
+    tokens, and its segments tile [0, seq_len) without gap or overlap;
+    a doc longer than seq_len straddles with contiguous offsets."""
+    from soweego_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(5 + (i * 7) % 19)))
+            for i in range(40)]
+    out = pack_sequences(_mk(spark, rows), seq_len=16, n_shards=2).collect()
+    by_seq: dict[tuple[int, int], list] = {}
+    for r in out:
+        by_seq.setdefault((r["shard"], r["seq_no"]), []).append(r)
+    last = {}
+    for (sh, sq) in by_seq:
+        last[sh] = max(last.get(sh, -1), sq)
+    for (sh, sq), segs in by_seq.items():
+        segs.sort(key=lambda r: r["seg_start"])
+        pos = 0
+        for s in segs:
+            assert s["seg_start"] == pos and s["seg_len"] >= 1
+            pos += s["seg_len"]
+        if sq != last[sh]:
+            assert pos == 16, (sh, sq, pos)
+        assert pos <= 16
+    # straddling docs: tok_offset advances contiguously across seq_nos
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, segs in by_doc.items():
+        segs.sort(key=lambda r: r["seq_no"])
+        pos = 0
+        for s in segs:
+            assert s["tok_offset"] == pos
+            pos += s["seg_len"]
+
+
+def test_pack_invariant_under_partitioning(spark):
+    """The segment map is a pure function of the data: identical under
+    any input partitioning (the 100-TB determinism claim)."""
+    from soweego_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(f"q{i}_{j}" for j in range(1 + i % 11)))
+            for i in range(50)]
+    base = _mk(spark, rows)
+    a = {tuple(r) for r in
+         pack_sequences(base.repartition(1), seq_len=8, n_shards=4).collect()}
+    b = {tuple(r) for r in
+         pack_sequences(base.repartition(17), seq_len=8, n_shards=4).collect()}
+    assert a == b and len(a) > 0
