@@ -3043,6 +3043,108 @@ _Q_PACK_SEQ_SQL = """
 """
 
 
+_EPOCH_WEIGHTS = {f"src{i}": (i % 8) * 0.5 for i in range(19)}  # src19 absent
+
+
+def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing with epoch up-sampling
+    (operators/corpus.epoch_mix): every doc of source g is emitted
+    floor(w_g) times plus one more iff u < frac(w_g), u =
+    md5_60('epochs:'||doc_id)/2^60 — expected multiplicity exactly w_g,
+    same docs repeated on every run. Weights sweep 0.0..3.5 in halves
+    (weight-0 and absent groups both drop). Zero shuffles: broadcast
+    weight table + a pure column explode."""
+    from soweego_spark.operators.corpus import epoch_mix
+
+    return epoch_mix(
+        _t(spark, sf_dir, "documents"), _EPOCH_WEIGHTS, group_col="source"
+    )
+
+
+def _q_epoch_mix_sql() -> str:
+    values = ", ".join(
+        f"('{g}', {w}::DOUBLE)" for g, w in sorted(_EPOCH_WEIGHTS.items())
+    )
+    return f"""
+    WITH w(source, epochs) AS (VALUES {values}),
+    c AS (
+        SELECT d.doc_id, d.source,
+               (floor(w.epochs)::BIGINT
+                + CASE WHEN ('0x' || substr(md5('epochs:'
+                            || d.doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+                           / (1152921504606846976::BIGINT)::DOUBLE
+                        < w.epochs - floor(w.epochs)
+                       THEN 1 ELSE 0 END) AS n
+        FROM documents d JOIN w USING (source)
+    )
+    SELECT doc_id, source, unnest(range(n)) AS epoch
+    FROM c WHERE n >= 1
+"""
+
+
+def q_shuffle_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle of packed training sequences
+    (corpus.deterministic_shuffle over pack_sequences's (shard, seq_no)
+    units): pos = the sequence's 0-based position in the permutation
+    ordered by (md5_60('epoch0:'||shard||':'||seq_no), shard, seq_no).
+    NOT a single-task global sort: the hash's high bits form contiguous
+    uniform buckets (one Exchange), each ranks locally, and broadcast
+    prefix offsets from a |buckets|-row count aggregate make the rank
+    global. Pure function of (data, seed) — the gate pins the entire
+    permutation."""
+    from soweego_spark.operators.corpus import (
+        deterministic_shuffle,
+        pack_sequences,
+    )
+
+    seqs = (
+        pack_sequences(_t(spark, sf_dir, "documents"), seq_len=128,
+                       n_shards=8)
+        .select("shard", "seq_no")
+        .distinct()
+    )
+    return deterministic_shuffle(
+        seqs, ["shard", "seq_no"], seed="epoch0", bucket_bits=6
+    )
+
+
+_Q_SHUFFLE_PACK_SQL = """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, len(w)::BIGINT AS n,
+               ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))
+                   ::BIGINT % 8 AS shard
+        FROM words WHERE len(w) >= 1
+    ),
+    ofs AS (
+        SELECT shard, doc_id, n,
+               coalesce(sum(n) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0)::BIGINT AS st
+        FROM sized
+    ),
+    seqs AS (
+        SELECT DISTINCT shard::BIGINT AS shard,
+               unnest(range(st // 128, (st + n - 1) // 128 + 1)) AS seq_no
+        FROM ofs
+    ),
+    hashed AS (
+        SELECT shard, seq_no,
+               ('0x' || substr(md5('epoch0:' || shard::VARCHAR || ':'
+                   || seq_no::VARCHAR), 1, 15))::BIGINT AS h
+        FROM seqs
+    )
+    SELECT shard, seq_no,
+           (row_number() OVER (ORDER BY h, shard, seq_no) - 1)::BIGINT AS pos
+    FROM hashed
+"""
+
+
 def q_statement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 statement planning under the hash gate: the wikidata-bot
     decision matrix (operators/ingest.plan_claim_additions — add_claim vs
@@ -4154,6 +4256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "mix_sample": q_mix_sample,
         "pack_sequences": q_pack_sequences,
+        "epoch_mix": q_epoch_mix,
+        "shuffle_pack": q_shuffle_pack,
         "sessionize": q_sessionize,
         "cluster_metrics": q_cluster_metrics,
         "incremental_neardup": q_incremental_neardup,
@@ -4230,6 +4334,8 @@ def _static_oracles() -> dict[str, str]:
         "decontaminate": _Q_DECONTAM_SQL,
         "mix_sample": _Q_MIX_SAMPLE_SQL,
         "pack_sequences": _Q_PACK_SEQ_SQL,
+        "epoch_mix": _q_epoch_mix_sql(),
+        "shuffle_pack": _Q_SHUFFLE_PACK_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "cluster_metrics": _Q_CLUSTER_METRICS_SQL,
         "incremental_neardup": _q_incremental_sql(),

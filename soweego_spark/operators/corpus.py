@@ -1,5 +1,6 @@
 """Training-corpus curation operators: exact substring-level dedup,
-benchmark decontamination, and deterministic stratified mix-sampling.
+benchmark decontamination, deterministic stratified mix-sampling, weighted
+epoch up-sampling, GPT-style sequence packing, and deterministic shuffle.
 
 These extend the document-level dedup family (operators/dedup.py) with the
 three curation passes a large-scale LLM training-data pipeline runs after
@@ -357,6 +358,116 @@ def pack_sequences(
         (seg_lo - F.col("st")).cast("long").alias("tok_offset"),
         (seg_lo - F.col("seq_no") * L).cast("long").alias("seg_start"),
         (seg_hi - seg_lo).cast("long").alias("seg_len"),
+    )
+
+
+def epoch_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    salt: str = "epochs",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted dataset mixing with epoch UP-sampling — the counterpart of
+    :func:`stratified_sample`'s downsampling. ``weights[g]`` is the number
+    of training epochs for group ``g`` (e.g. ``{"wiki": 3.5, "web": 0.3}``
+    in the GPT-3/Pile mixture style): every doc of ``g`` is emitted
+    ``floor(w)`` times plus one more iff u < frac(w), with
+    u = md5_60(salt ':' doc_id) / 2^60 — so the group's expected
+    multiplicity is exactly w, the SAME docs get the extra copy on every
+    run (no RNG), and an epoch column 0..copies-1 distinguishes repeats.
+    Groups absent from ``weights`` are dropped (weight 0).
+
+    Bit-exact cross-engine: u is one IEEE division of identical integer
+    operands, frac(w) = w - floor(w) over the same double literal, and
+    the copy count is integer arithmetic — the emitted multiset replays
+    exactly in DuckDB (weights must be written ``::DOUBLE`` there; a bare
+    decimal literal is DECIMAL and compares exactly instead).
+
+    Scale: the weight table is |groups| rows, broadcast; the keep/repeat
+    decision and the copy explode are pure column expressions — ZERO
+    shuffles. The explode's sequence is total even if evaluated on
+    weight-0 rows the guard excludes (descending [0,-1] never throws;
+    see the InferFiltersFromGenerate note on gram_occurrences).
+    """
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(str(g), float(w)) for g, w in sorted(weights.items())],
+        f"{group_col} string, epochs double",
+    )
+    u = md5_60(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    ).cast("double") / F.lit(TWO_60)
+    n_copies = (
+        F.floor("epochs").cast("long")
+        + F.when(u < F.col("epochs") - F.floor("epochs"), 1).otherwise(0)
+    )
+    return (
+        docs.join(F.broadcast(wdf), group_col)
+        .withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") >= 1)
+        .select(
+            id_col,
+            group_col,
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("n_copies") - F.lit(1)
+                )
+            ).alias("epoch"),
+        )
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: str = "shuffle",
+    bucket_bits: int = 10,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle: adds ``pos_col`` — the row's 0-based
+    position in the permutation ordered by (md5_60(seed ':' keys), keys).
+    Reorder training sequences per epoch by varying ``seed``; the result
+    is a pure function of (data, seed) — identical on any cluster at any
+    partitioning. ``key_cols`` must uniquely identify rows (they are the
+    hash input AND the collision tiebreak, making the order total).
+
+    A naive ``row_number() OVER (ORDER BY h)`` is a single-task global
+    sort — a non-starter at 100 TB. This is the two-phase ranking
+    instead: the hash's HIGH bits split the key space into 2^bucket_bits
+    contiguous, uniformly-filled ranges (ONE data Exchange, for the
+    per-bucket rank window), and a bucket-count aggregate turns into
+    broadcast prefix offsets — global pos = offset[bucket] + local_rank.
+    The count branch's shuffle is map-side combined (≤2^bucket_bits rows
+    per task), and the only unpartitioned window runs over the count
+    rows, never the data. Size bucket_bits so a bucket fits a task
+    (40 bits are available above the 2^60 hash range).
+    """
+    h = md5_60(
+        F.concat_ws(
+            ":", F.lit(seed), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    keyed = df.withColumn("_h", h).withColumn(
+        "_b", F.shiftright(F.col("_h"), 60 - bucket_bits).cast("long")
+    )
+    rank_win = Window.partitionBy("_b").orderBy("_h", *key_cols)
+    counts = keyed.groupBy("_b").agg(F.count("*").alias("_n"))
+    off_win = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(off_win), F.lit(0)).alias("_off")
+    )
+    return (
+        keyed.withColumn(
+            "_rn", F.row_number().over(rank_win).cast("long")
+        )
+        .join(F.broadcast(offsets), "_b")
+        .withColumn(
+            pos_col, (F.col("_off") + F.col("_rn") - F.lit(1)).cast("long")
+        )
+        .drop("_h", "_b", "_rn", "_off")
     )
 
 

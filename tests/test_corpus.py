@@ -452,3 +452,96 @@ def test_pack_invariant_under_partitioning(spark):
     b = {tuple(r) for r in
          pack_sequences(base.repartition(17), seq_len=8, n_shards=4).collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# epoch_mix — weighted epoch up-sampling
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_mix_matches_python_replay(spark):
+    """Copies per doc = floor(w) + (u < frac(w)), replayed in pure Python;
+    weight-0 and absent groups drop; epoch indices are 0..copies-1."""
+    from soweego_spark.operators.corpus import epoch_mix
+    from soweego_spark.operators.dedup import md5_60_py
+
+    weights = {"a": 2.5, "b": 0.25, "c": 1.0, "z": 0.0}
+    rows = [(i, f"t{i}", ["a", "b", "c", "z", "missing"][i % 5])
+            for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = {
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in epoch_mix(docs, weights, group_col="source").collect()
+    }
+    expected = set()
+    for doc_id, _, src in rows:
+        w = weights.get(src)
+        if w is None:
+            continue
+        u = md5_60_py(f"epochs:{doc_id}") / float(1 << 60)
+        n = int(w) + (1 if u < w - int(w) else 0)
+        for e in range(n):
+            expected.add((doc_id, src, e))
+    assert got == expected
+    # group 'a' (w=2.5): every doc appears 2 or 3 times
+    for doc_id, _, src in rows:
+        if src == "a":
+            copies = sum(1 for g in got if g[0] == doc_id)
+            assert copies in (2, 3)
+    # weight-0 ('z') and absent ('missing') groups emit nothing
+    assert not any(g[1] in ("z", "missing") for g in got)
+
+
+def test_epoch_mix_expected_multiplicity(spark):
+    """Over many docs the realized multiplicity of a fractional-weight
+    group approaches w (hash-Bernoulli, not truncation)."""
+    from soweego_spark.operators.corpus import epoch_mix
+
+    docs = spark.createDataFrame(
+        [(i, "x", "g") for i in range(400)],
+        "doc_id long, text string, source string",
+    )
+    n = epoch_mix(docs, {"g": 1.5}, group_col="source").count()
+    assert 400 * 1.3 < n < 400 * 1.7
+
+
+# ---------------------------------------------------------------------------
+# deterministic_shuffle — two-phase global ranking
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_is_exact_permutation(spark):
+    """pos is exactly 0..n-1 and equals the rank in Python's sort by
+    (md5_60(seed:keys), keys)."""
+    from soweego_spark.operators.corpus import deterministic_shuffle
+    from soweego_spark.operators.dedup import md5_60_py
+
+    rows = [(i, i * 11 % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {(r["a"], r["b"]): r["pos"] for r in
+           deterministic_shuffle(df, ["a", "b"], seed="e1",
+                                 bucket_bits=4).collect()}
+    order = sorted(rows, key=lambda t: (md5_60_py(f"e1:{t[0]}:{t[1]}"), t))
+    assert got == {k: i for i, k in enumerate(order)}
+    assert sorted(got.values()) == list(range(300))
+
+
+def test_shuffle_invariant_under_partitioning_and_buckets(spark):
+    """The permutation is a pure function of (data, seed): identical for
+    any input partitioning and any bucket_bits; a different seed gives a
+    different permutation."""
+    from soweego_spark.operators.corpus import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+
+    def run(frame, seed, bits):
+        return {(r["k"], r["pos"]) for r in
+                deterministic_shuffle(frame, ["k"], seed=seed,
+                                      bucket_bits=bits).collect()}
+
+    a = run(df.repartition(1), "s", 3)
+    b = run(df.repartition(13), "s", 8)
+    assert a == b
+    assert run(df, "s2", 3) != a
