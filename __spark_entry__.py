@@ -3145,6 +3145,330 @@ _Q_SHUFFLE_PACK_SQL = """
 """
 
 
+# ------------------------------------------------------------------ BPE
+# Learned-tokenizer stage (operators/bpe.py). The Spark side trains its
+# merge table from the DISTRIBUTED word-count path (groupBy + bounded
+# TakeOrdered collect, then the string-based driver trainer); the oracle
+# trains INDEPENDENTLY — DuckDB word counts + the tuple-based trainer
+# below — and embeds its merges as SQL literals. Any disagreement in
+# counting, tie-breaking, early-stop, or merge application turns every
+# downstream row red, so the gates pin the whole algorithm cross-engine,
+# not just the encode fold.
+
+_BPE_N_MERGES = 60
+_BPE_MIN_COUNT = 2
+_BPE_SEP = "\x1f"
+_BPE_RS = "\x1e"
+
+
+def _bpe_merge_tuple(syms: tuple, left: str, right: str) -> tuple:
+    """Single-pass merge application on a symbol tuple — the tuple twin of
+    the sentinel-string replace spec (operators/bpe.py docstring): after a
+    merge at i, the trailing separator of the match is consumed, so the
+    next merge may start no earlier than symbol i+3."""
+    out: list = []
+    i, n, eligible = 0, len(syms), 0
+    while i < n:
+        if (
+            i + 1 < n
+            and i >= eligible
+            and syms[i] == left
+            and syms[i + 1] == right
+        ):
+            out.append(left + right)
+            eligible = i + 3
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _bpe_learn_tuple(
+    counts: list, n_merges: int, min_count: int
+) -> list:
+    """Independent (tuple-based) trainer implementing the same spec as
+    bpe.learn_merges_from_counts: overlapping adjacent-pair counting,
+    best = (count desc, pair lexicographic asc), stop when best < min_count."""
+    items = [[tuple(w), c] for w, c in counts if w]
+    merges = []
+    for _ in range(n_merges):
+        pc: dict = {}
+        for syms, c in items:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (left, right), best_n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best_n < min_count:
+            break
+        for it in items:
+            it[0] = _bpe_merge_tuple(it[0], left, right)
+        merges.append((left, right))
+    return merges
+
+
+_BPE_WORDS_CTE = """words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(replace(replace(text,
+                   chr(31), ''), chr(30), '')), ' '), x -> x <> '') AS w
+        FROM documents
+    )"""
+
+
+def _bpe_oracle_merges() -> list:
+    """DuckDB-counted, tuple-trained merge table for the sf dir under test
+    (SOWEEGO_ORACLE_SF_DIR — the driver's gate dir by default)."""
+    import duckdb as _duck
+
+    sf_dir = os.environ.get("SOWEEGO_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = _duck.connect()
+    try:
+        rows = con.execute(
+            f"""WITH {_BPE_WORDS_CTE.replace('documents',
+                f"'{sf_dir}/documents.parquet'")}
+            SELECT u AS word, count(*) AS cnt
+            FROM (SELECT unnest(w) AS u FROM words) GROUP BY u"""
+        ).fetchall()
+    finally:
+        con.close()
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:1_000_000]  # the operator's type_cap truncation
+    return _bpe_learn_tuple(rows, _BPE_N_MERGES, _BPE_MIN_COUNT)
+
+
+def _sqlq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _bpe_merges_literal(merges: list) -> str:
+    """The merge table as a DuckDB VARCHAR[] literal of packed
+    '<search>\\x1e<replace>' sentinel strings (raw control chars embed
+    fine in single-quoted literals)."""
+    if not merges:
+        return "[]::VARCHAR[]"
+    items = ", ".join(
+        "'{}'".format(
+            _sqlq(
+                _BPE_SEP + l + _BPE_SEP + r + _BPE_SEP
+                + _BPE_RS + _BPE_SEP + l + r + _BPE_SEP
+            )
+        )
+        for l, r in merges
+    )
+    return f"[{items}]"
+
+
+# shared encode CTE text: distinct words of `srcw` -> (word, encw) where
+# encw is the \x1f-joined token string after the merge fold. Lambda vars
+# are suffixed so they can never collide with a FROM column (the DuckDB
+# lateral-alias trap, CLAUDE.md round-4).
+def _bpe_enc_cte(merges: list, src: str) -> str:
+    return f"""enc AS (
+        SELECT word,
+               trim(list_reduce(
+                   list_prepend(chr(31) || regexp_replace(word,
+                       '(?s)(.)', '\\1' || chr(31), 'g'),
+                       {_bpe_merges_literal(merges)}),
+                   (acc9, m9) -> replace(acc9,
+                       split_part(m9, chr(30), 1),
+                       split_part(m9, chr(30), 2))), chr(31)) AS encw
+        FROM (SELECT DISTINCT word FROM {src})
+    )"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table itself: distributed word counts (one
+    map-side-combined shuffle + bounded TakeOrdered collect), then the
+    deterministic driver trainer. The oracle re-learns from DuckDB counts
+    with an independent implementation — rank-for-rank equality IS the
+    gate."""
+    from soweego_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(
+        _t(spark, sf_dir, "documents"),
+        n_merges=_BPE_N_MERGES,
+        min_count=_BPE_MIN_COUNT,
+    )
+    rows = [(i, l, r) for i, (l, r) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank: long, lhs: string, rhs: string"
+    )
+
+
+def _q_bpe_merges_sql() -> str:
+    merges = _bpe_oracle_merges()
+    if not merges:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS rank, '' AS lhs, '' AS rhs "
+            "WHERE 1 = 0"
+        )
+    vals = ", ".join(
+        f"({i}::BIGINT, '{_sqlq(l)}', '{_sqlq(r)}')"
+        for i, (l, r) in enumerate(merges)
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS m(rank, lhs, rhs)"
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus subword encoding: train (distributed counts), encode
+    the distinct-word type table via the Catalyst merge fold, join tokens
+    back to word occurrences, reassemble per doc. Output pins the full
+    encoded corpus — per doc, the word count, subword count, and the
+    entire token stream (tokens \\x1f-joined within a word, words
+    space-joined in order)."""
+    from soweego_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_N_MERGES, min_count=_BPE_MIN_COUNT)
+    enc = bpe_encode(docs, merges)
+    parts = enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("wpos", "enc"))).alias("ps"),
+    )
+    return parts.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.array_join(F.transform("ps", lambda p: p["enc"]), " ").alias(
+            "encoded"
+        ),
+    )
+
+
+def _q_bpe_encode_sql() -> str:
+    merges = _bpe_oracle_merges()
+    return f"""
+    WITH {_BPE_WORDS_CTE},
+    wx AS (
+        SELECT doc_id,
+               unnest([{{'p': gi - 1, 'wd': w[gi]}}
+                       FOR gi IN range(1, len(w) + 1)]) AS wu
+        FROM words
+    ),
+    occ AS (SELECT doc_id, wu.p AS wpos, wu.wd AS word FROM wx),
+    {_bpe_enc_cte(merges, 'occ')},
+    perw AS (
+        SELECT doc_id, wpos, encw,
+               len(list_filter(string_split(encw, chr(31)),
+                   t9 -> t9 <> '')) AS ntok
+        FROM occ JOIN enc USING (word)
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(ntok)::BIGINT AS n_tokens,
+           string_agg(encw, ' ' ORDER BY wpos) AS encoded
+    FROM perw GROUP BY doc_id
+    """
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus subword vocabulary with frequencies (bpe.bpe_vocab): token
+    occurrence totals come from the word-count table joined to the encoded
+    TYPE table — the corpus is scanned once and never re-read per token."""
+    from soweego_spark.operators.bpe import bpe_train, bpe_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_N_MERGES, min_count=_BPE_MIN_COUNT)
+    v = bpe_vocab(docs, merges)
+    return v.select(
+        "token",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_types").cast("long").alias("n_types"),
+    )
+
+
+def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-tokenizer -> sequence-packing composition: pack_counts
+    (corpus.py) over per-doc BPE subword counts instead of whitespace
+    counts — the real assembly-line shape (tokenize, then pack the token
+    streams). Same packing plan (one shard Exchange + per-shard window
+    cumsum); the gate pins the full segment map under the learned
+    tokenization."""
+    from soweego_spark.operators.bpe import bpe_encode, bpe_train
+    from soweego_spark.operators.corpus import pack_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_N_MERGES, min_count=_BPE_MIN_COUNT)
+    n = (
+        bpe_encode(docs, merges)
+        .groupBy("doc_id")
+        .agg(F.sum(F.size("toks")).cast("long").alias("n"))
+    )
+    return pack_counts(n, seq_len=128, n_shards=8)
+
+
+def _q_bpe_pack_sql() -> str:
+    merges = _bpe_oracle_merges()
+    return f"""
+    WITH {_BPE_WORDS_CTE},
+    wx AS (
+        SELECT doc_id,
+               unnest([{{'p': gi - 1, 'wd': w[gi]}}
+                       FOR gi IN range(1, len(w) + 1)]) AS wu
+        FROM words
+    ),
+    occ AS (SELECT doc_id, wu.p AS wpos, wu.wd AS word FROM wx),
+    {_bpe_enc_cte(merges, 'occ')},
+    perw AS (
+        SELECT doc_id,
+               len(list_filter(string_split(encw, chr(31)),
+                   t9 -> t9 <> '')) AS ntok
+        FROM occ JOIN enc USING (word)
+    ),
+    sized AS (
+        SELECT doc_id, sum(ntok)::BIGINT AS n,
+               ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))
+                   ::BIGINT % 8 AS shard
+        FROM perw GROUP BY doc_id HAVING sum(ntok) >= 1
+    ),
+    ofs AS (
+        SELECT shard, doc_id, n,
+               coalesce(sum(n) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0)::BIGINT AS st
+        FROM sized
+    ),
+    segs AS (
+        SELECT shard, doc_id, st, st + n AS en,
+               unnest(range(st // 128, (st + n - 1) // 128 + 1)) AS seq_no
+        FROM ofs
+    )
+    SELECT shard::BIGINT AS shard,
+           seq_no::BIGINT AS seq_no,
+           doc_id,
+           (greatest(st, seq_no * 128) - st)::BIGINT AS tok_offset,
+           (greatest(st, seq_no * 128) - seq_no * 128)::BIGINT AS seg_start,
+           (least(en, (seq_no + 1) * 128)
+               - greatest(st, seq_no * 128))::BIGINT AS seg_len
+    FROM segs
+    """
+
+
+def _q_bpe_vocab_sql() -> str:
+    merges = _bpe_oracle_merges()
+    return f"""
+    WITH {_BPE_WORDS_CTE},
+    wcount AS (
+        SELECT u AS word, count(*) AS cnt
+        FROM (SELECT unnest(w) AS u FROM words) GROUP BY u
+    ),
+    {_bpe_enc_cte(merges, 'wcount')},
+    tok AS (
+        SELECT word, cnt,
+               unnest(list_filter(string_split(encw, chr(31)),
+                   t9 -> t9 <> '')) AS token
+        FROM wcount JOIN enc USING (word)
+    )
+    SELECT token,
+           sum(cnt)::BIGINT AS n_occurrences,
+           count(DISTINCT word)::BIGINT AS n_types
+    FROM tok GROUP BY token
+    """
+
+
 def q_statement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 statement planning under the hash gate: the wikidata-bot
     decision matrix (operators/ingest.plan_claim_additions — add_claim vs
@@ -4258,6 +4582,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "epoch_mix": q_epoch_mix,
         "shuffle_pack": q_shuffle_pack,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_pack": q_bpe_pack,
         "sessionize": q_sessionize,
         "cluster_metrics": q_cluster_metrics,
         "incremental_neardup": q_incremental_neardup,
@@ -4282,6 +4610,10 @@ def oracle_sql() -> dict[str, str]:
     for name, gen in (
         ("embedding_ivf_topk", _q_embedding_ivf_sql),
         ("logistic_score", _q_logistic_score_sql),
+        ("bpe_merges", _q_bpe_merges_sql),
+        ("bpe_encode", _q_bpe_encode_sql),
+        ("bpe_vocab", _q_bpe_vocab_sql),
+        ("bpe_pack", _q_bpe_pack_sql),
     ):
         try:
             out[name] = gen()

@@ -122,6 +122,9 @@ ROUND6_QUERIES = [
     "substring_dedup_cut",
     # sequence packing: one shard Exchange + per-shard window cumsum
     "pack_sequences",
+    # learned tokenizer: distributed word-count + type-table merge fold
+    # + token join-back (operators/bpe.py)
+    "bpe_encode",
 ]
 BENCH_QUERIES = (
     BENCH_QUERIES

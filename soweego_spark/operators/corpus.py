@@ -314,10 +314,28 @@ def pack_sequences(
     so the expression stays total if InferFiltersFromGenerate evaluates
     it on rows the n >= 1 guard excludes (CLAUDE.md round-6 note).
     """
-    L = int(seq_len)
     w = _words(docs, id_col, text_col).select(
         "doc_id", F.size("w").cast("long").alias("n")
-    ).where(F.col("n") >= 1)
+    )
+    return pack_counts(w, seq_len=seq_len, n_shards=n_shards, salt=salt)
+
+
+def pack_counts(
+    counts: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """The packing core over any per-doc token-count frame (doc_id, n) —
+    :func:`pack_sequences` feeds it whitespace counts; the learned-tokenizer
+    composition (gate ``bpe_pack``) feeds it BPE subword counts from
+    operators/bpe.py. Zero-token docs drop. Same plan shape either way:
+    one Exchange on the shard key, one per-shard window cumsum, one
+    segment explode."""
+    L = int(seq_len)
+    w = counts.select("doc_id", F.col("n").cast("long").alias("n")).where(
+        F.col("n") >= 1
+    )
     shard = F.pmod(
         md5_60(
             F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))
