@@ -3469,6 +3469,155 @@ def _q_bpe_vocab_sql() -> str:
     """
 
 
+# ------------------------------------------------------------ LM filter
+# CCNet-style n-gram LM quality pass (operators/lmfilter.py): the
+# reference slice is the deterministic 1-in-5 md5 split of the documents
+# table (slot 0 trains the bigram model, slots 1-4 are scored). Every
+# gated number is an exact integer; the keep decision is rational
+# cross-multiplication — no floats anywhere near the hash.
+
+_LM_N = 2
+_LM_SLOTS = 5
+_LM_MAX_OOV_PCT = 30
+_LM_MIN_AVG_NUM = 2
+_LM_MIN_AVG_DEN = 1
+_LM_COUNT_CAP = 1_000_000
+
+
+def _lm_split(spark: SparkSession, sf_dir: str):
+    """(ref_docs, scored_docs): deterministic md5 slot split of documents."""
+    from soweego_spark.operators.dedup import md5_60
+
+    docs = _t(spark, sf_dir, "documents")
+    slot = F.pmod(
+        md5_60(F.concat(F.lit("lmref:"), F.col("doc_id").cast("string"))),
+        F.lit(_LM_SLOTS),
+    )
+    tagged = docs.withColumn("_slot", slot)
+    return (
+        tagged.where(F.col("_slot") == 0).drop("_slot"),
+        tagged.where(F.col("_slot") != 0).drop("_slot"),
+    )
+
+
+def q_lm_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc integer sufficient statistics of the scored slice against
+    the reference-slice bigram model (lmfilter.lm_doc_stats): token/gram
+    counts, OOV and OOV-context positions, winsorized model-count sums.
+    Two gram explodes + one count shuffle train the model; scoring is two
+    hash joins + one map-side-combinable agg."""
+    from soweego_spark.operators.lmfilter import lm_counts, lm_doc_stats
+
+    ref, scored = _lm_split(spark, sf_dir)
+    model = lm_counts(ref, n=_LM_N)
+    return lm_doc_stats(scored, model, n=_LM_N, count_cap=_LM_COUNT_CAP)
+
+
+def q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style keep/drop decision (lmfilter.lm_filter): keep iff
+    ≥1 gram, OOV rate ≤ 30%, and mean winsorized gram count ≥ 2 — all
+    integer cross-multiplications, hash-replayed by the oracle. ``keep``
+    is cast to long (0/1) for the cross-engine type lane."""
+    from soweego_spark.operators.lmfilter import lm_counts, lm_filter
+
+    ref, scored = _lm_split(spark, sf_dir)
+    model = lm_counts(ref, n=_LM_N)
+    out = lm_filter(
+        scored,
+        model,
+        n=_LM_N,
+        max_oov_pct=_LM_MAX_OOV_PCT,
+        min_avg_count_num=_LM_MIN_AVG_NUM,
+        min_avg_count_den=_LM_MIN_AVG_DEN,
+        count_cap=_LM_COUNT_CAP,
+    )
+    return out.withColumn("keep", F.col("keep").cast("long"))
+
+
+_LM_STATS_CTES = f"""words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    tagged AS (
+        SELECT doc_id, w,
+               ('0x' || substr(md5('lmref:' || doc_id::VARCHAR), 1, 15))
+                   ::BIGINT % {_LM_SLOTS} AS slot
+        FROM words
+    ),
+    refg AS (
+        SELECT unnest([('0x' || substr(md5(array_to_string(
+                   w[gi:gi+1], ' ')), 1, 15))::BIGINT
+                   FOR gi IN range(1, len(w))]) AS gh
+        FROM tagged WHERE slot = 0 AND len(w) >= 2
+    ),
+    refu AS (
+        SELECT unnest([('0x' || substr(md5(w[gi]), 1, 15))::BIGINT
+                   FOR gi IN range(1, len(w) + 1)]) AS gh
+        FROM tagged WHERE slot = 0 AND len(w) >= 1
+    ),
+    model AS (
+        SELECT gh, count(*) AS c
+        FROM (SELECT gh FROM refg UNION ALL SELECT gh FROM refu)
+        GROUP BY gh
+    ),
+    scored AS (SELECT doc_id, w FROM tagged WHERE slot <> 0),
+    occ0 AS (
+        SELECT doc_id,
+               unnest([{{'gh': ('0x' || substr(md5(array_to_string(
+                            w[gi:gi+1], ' ')), 1, 15))::BIGINT,
+                        'ph': ('0x' || substr(md5(w[gi]), 1, 15))::BIGINT}}
+                       FOR gi IN range(1, len(w))]) AS gu
+        FROM scored WHERE len(w) >= 2
+    ),
+    occ AS (SELECT doc_id, gu.gh AS gh, gu.ph AS ph FROM occ0),
+    jj AS (
+        SELECT o.doc_id, mg.c AS c_gram, mp.c AS c_prefix
+        FROM occ o
+        LEFT JOIN model mg ON o.gh = mg.gh
+        LEFT JOIN model mp ON o.ph = mp.gh
+    ),
+    per AS (
+        SELECT doc_id,
+               count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN c_gram IS NULL THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_oov,
+               sum(CASE WHEN c_prefix IS NULL THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_ctx_oov,
+               sum(least(coalesce(c_gram, 0), {_LM_COUNT_CAP}))
+                   ::BIGINT AS sum_c_gram,
+               sum(least(coalesce(c_prefix, 0), {_LM_COUNT_CAP}))
+                   ::BIGINT AS sum_c_prefix
+        FROM jj GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT s.doc_id,
+               len(s.w)::BIGINT AS n_tokens,
+               coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+               coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+               coalesce(p.n_ctx_oov, 0)::BIGINT AS n_ctx_oov,
+               coalesce(p.sum_c_gram, 0)::BIGINT AS sum_c_gram,
+               coalesce(p.sum_c_prefix, 0)::BIGINT AS sum_c_prefix
+        FROM scored s LEFT JOIN per p USING (doc_id)
+    )"""
+
+_Q_LM_STATS_SQL = f"""
+    WITH {_LM_STATS_CTES}
+    SELECT * FROM stats
+"""
+
+_Q_LM_FILTER_SQL = f"""
+    WITH {_LM_STATS_CTES}
+    SELECT *,
+           (CASE WHEN n_grams >= 1
+                  AND n_oov * 100 <= n_grams * {_LM_MAX_OOV_PCT}
+                  AND sum_c_gram * {_LM_MIN_AVG_DEN}
+                      >= n_grams * {_LM_MIN_AVG_NUM}
+                 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM stats
+"""
+
+
 def q_statement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 statement planning under the hash gate: the wikidata-bot
     decision matrix (operators/ingest.plan_claim_additions — add_claim vs
@@ -4586,6 +4735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "bpe_vocab": q_bpe_vocab,
         "bpe_pack": q_bpe_pack,
+        "lm_doc_stats": q_lm_doc_stats,
+        "lm_filter": q_lm_filter,
         "sessionize": q_sessionize,
         "cluster_metrics": q_cluster_metrics,
         "incremental_neardup": q_incremental_neardup,
@@ -4661,6 +4812,8 @@ def _static_oracles() -> dict[str, str]:
         "gopher_quality": _Q_GOPHER_SQL,
         "pii_scrub": _Q_PII_SQL,
         "substring_dedup": _Q_SUBSTR_SQL,
+        "lm_doc_stats": _Q_LM_STATS_SQL,
+        "lm_filter": _Q_LM_FILTER_SQL,
         "substring_dedup_cut": _Q_SUBSTR_CUT_SQL,
         "substring_dedup_incremental": _Q_SUBSTR_INCR_SQL,
         "decontaminate": _Q_DECONTAM_SQL,

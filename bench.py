@@ -125,6 +125,9 @@ ROUND6_QUERIES = [
     # learned tokenizer: distributed word-count + type-table merge fold
     # + token join-back (operators/bpe.py)
     "bpe_encode",
+    # CCNet-style n-gram LM quality pass: ref-slice model + two hash
+    # joins + integer decision (operators/lmfilter.py)
+    "lm_filter",
 ]
 BENCH_QUERIES = (
     BENCH_QUERIES

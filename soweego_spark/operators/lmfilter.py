@@ -1,0 +1,207 @@
+"""N-gram language-model quality filtering for the training corpus.
+
+The CCNet-style LM quality pass (Wenzek et al. 2019, "CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data" — public method):
+train an n-gram model on a trusted reference slice, score every candidate
+document against it, and drop the tail. No reference analogue — soweego
+stops at entity records; this operates on the ``documents`` web-text table
+like the other curation operators (operators/corpus.py).
+
+Spark-first split:
+
+- **Model training is two gram explodes + one count shuffle**: order-n and
+  order-(n-1) gram occurrences of the reference slice, hashed to the 60-bit
+  md5 prefix (dedup.md5_60) and counted in ONE table. Orders cannot collide:
+  words contain no spaces, so an n-gram string has exactly n-1 spaces and is
+  prefix-free across orders. The count table is VOCABULARY-sized.
+- **Scoring is two hash-equi-joins + one map-side-combinable agg**: each
+  scored document explodes into (gram hash, prefix hash) positions joined
+  against the model counts — broadcastable when the model fits, AQE
+  decides — then one groupBy(doc_id).
+- **Every gated number is an exact integer.** Cross-engine float logs are
+  not bit-stable (no correct-rounding guarantee in libm — CLAUDE.md), so
+  the DECISION thresholds are rational comparisons over integer sufficient
+  statistics (cross-multiplication, no division), and the float
+  log-probability/perplexity is a separate convenience column
+  (:func:`lm_log_prob`) kept OUT of the hash gates.
+- **Winsorized counts bound the arithmetic**: model counts are capped at
+  ``count_cap`` before summing, so every per-doc sum is ≤ n_grams ×
+  count_cap (≈2^40 for million-token docs at the default cap) — no int64
+  overflow at any corpus scale, and hot boilerplate grams can't dominate
+  the quality signal anyway.
+
+Scale notes (100 TB): gram rows ≈ 2× token count — the same row volume the
+MinHash shingle explode already pays; the model join keys are uniform
+60-bit hashes (no skew); nothing collects to the driver.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from soweego_spark.operators.corpus import _words, gram_occurrences
+from soweego_spark.operators.dedup import md5_60
+
+
+def lm_counts(
+    ref_docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(gh, c): the n-gram model — corpus-wide occurrence counts of the
+    reference slice's order-n AND order-(n-1) grams in one hash-keyed
+    table (orders are prefix-free, see module docstring). One shuffle,
+    vocabulary-sized output."""
+    if n < 2:
+        raise ValueError("lm_counts needs n >= 2 (prefix order n-1 >= 1)")
+    gn = gram_occurrences(ref_docs, n, id_col, text_col).select("gh")
+    gp = gram_occurrences(ref_docs, n - 1, id_col, text_col).select("gh")
+    return gn.unionByName(gp).groupBy("gh").agg(F.count("*").alias("c"))
+
+
+def gram_prefix_occurrences(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, gh, ph): every order-n gram occurrence with its own
+    hash and its order-(n-1) prefix hash, 0-based position. Docs shorter
+    than n emit nothing. Both hashes are materialized in a projection
+    BELOW the explode (no O(array) sibling beside the generator), and the
+    sequence end is greatest-clamped so the expression stays total if
+    InferFiltersFromGenerate evaluates it on rows the size guard excludes
+    (both CLAUDE.md notes)."""
+    w = _words(docs, id_col, text_col).where(F.size("w") >= n)
+    structs = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
+        lambda i: F.struct(
+            md5_60(F.concat_ws(" ", F.slice("w", i + 1, n))).alias("gh"),
+            md5_60(F.concat_ws(" ", F.slice("w", i + 1, n - 1))).alias("ph"),
+        ),
+    )
+    return (
+        w.select("doc_id", structs.alias("gps"))
+        .select("doc_id", F.posexplode("gps").alias("pos", "gp"))
+        .select("doc_id", "pos", F.col("gp.gh").alias("gh"), F.col("gp.ph").alias("ph"))
+    )
+
+
+def lm_doc_stats(
+    docs: DataFrame,
+    model: DataFrame,
+    n: int = 2,
+    count_cap: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document integer sufficient statistics against the model:
+
+    (doc_id, n_tokens, n_grams, n_oov, n_ctx_oov, sum_c_gram,
+    sum_c_prefix) — all longs. ``n_oov`` counts gram positions absent from
+    the model, ``n_ctx_oov`` positions whose (n-1)-prefix is absent;
+    ``sum_c_*`` are winsorized-count sums (``least(c, count_cap)``). Docs
+    with fewer than n words appear with zero grams (left join back to the
+    full doc set) — every downstream consumer sees one row per input doc.
+    """
+    occ = gram_prefix_occurrences(docs, n, id_col, text_col)
+    mg = model.select("gh", F.col("c").alias("c_gram"))
+    mp = model.select(F.col("gh").alias("ph"), F.col("c").alias("c_prefix"))
+    j = occ.join(mg, "gh", "left").join(mp, "ph", "left")
+    cap = F.lit(int(count_cap)).cast("long")
+    per = j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("c_gram").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(F.when(F.col("c_prefix").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ctx_oov"),
+        F.sum(F.least(F.coalesce(F.col("c_gram"), F.lit(0)), cap))
+        .cast("long")
+        .alias("sum_c_gram"),
+        F.sum(F.least(F.coalesce(F.col("c_prefix"), F.lit(0)), cap))
+        .cast("long")
+        .alias("sum_c_prefix"),
+    )
+    base = _words(docs, id_col, text_col).select(
+        "doc_id", F.size("w").cast("long").alias("n_tokens")
+    )
+    zero = F.lit(0).cast("long")
+    out = base.join(per, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        *[
+            F.coalesce(F.col(c), zero).alias(c)
+            for c in ("n_grams", "n_oov", "n_ctx_oov", "sum_c_gram", "sum_c_prefix")
+        ],
+    )
+
+
+def lm_filter(
+    docs: DataFrame,
+    model: DataFrame,
+    n: int = 2,
+    max_oov_pct: int = 30,
+    min_avg_count_num: int = 2,
+    min_avg_count_den: int = 1,
+    count_cap: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The quality decision over :func:`lm_doc_stats`: keep a doc iff it
+    has at least one gram, its OOV rate is ≤ ``max_oov_pct`` percent, and
+    its mean winsorized gram count is ≥ ``min_avg_count_num /
+    min_avg_count_den``. All three tests are integer cross-multiplications
+    (no division, no floats — exact in Spark, DuckDB, and Python alike),
+    so the whole decision hash-replays in the oracle. Returns the stats
+    plus a ``keep`` boolean; callers drop with ``.where("keep")``."""
+    stats = lm_doc_stats(docs, model, n, count_cap, id_col, text_col)
+    keep = (
+        (F.col("n_grams") >= 1)
+        & (F.col("n_oov") * 100 <= F.col("n_grams") * int(max_oov_pct))
+        & (
+            F.col("sum_c_gram") * int(min_avg_count_den)
+            >= F.col("n_grams") * int(min_avg_count_num)
+        )
+    )
+    return stats.withColumn("keep", keep)
+
+
+def lm_log_prob(
+    docs: DataFrame,
+    model: DataFrame,
+    vocab_size: int,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Convenience add-one-smoothed log-probability / perplexity (doubles;
+    NOT hash-gated — libm ``log`` has no cross-engine bit guarantee):
+    per doc, sum over gram positions of ln((c_gram + 1) / (c_prefix +
+    vocab_size)) and the token-normalized perplexity exp(-logprob /
+    n_grams). ``vocab_size`` is the model's distinct order-(n-1) gram
+    count (the caller computed it when training). Pure column expressions
+    over the same two hash joins as the stats — JVM-side end to end."""
+    occ = gram_prefix_occurrences(docs, n, id_col, text_col)
+    mg = model.select("gh", F.col("c").alias("c_gram"))
+    mp = model.select(F.col("gh").alias("ph"), F.col("c").alias("c_prefix"))
+    j = occ.join(mg, "gh", "left").join(mp, "ph", "left")
+    lp = F.log(
+        (F.coalesce(F.col("c_gram"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.coalesce(F.col("c_prefix"), F.lit(0)) + F.lit(int(vocab_size))).cast(
+            "double"
+        )
+    )
+    per = j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(lp).alias("log_prob"),
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "log_prob",
+        F.exp(-F.col("log_prob") / F.col("n_grams")).alias("ppl"),
+    )
