@@ -689,7 +689,7 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _incr_tok_ctes(n: int = 3) -> str:
     """`toks` CTE text: word n-gram shingle sets from an upstream `words`
     CTE of (doc_id, w: filtered lowercase word list)."""
-    return f"""toks AS (
+    return f"""toks AS MATERIALIZED (
         SELECT doc_id,
                list_sort(list_distinct(
                    [array_to_string(w[i:i+{n - 1}], ' ')
@@ -722,17 +722,22 @@ def _incr_band_ctes(num_perm: int, bands: int) -> str:
     )
     tok_hash = _MD5_H.format(x="tok")
     tok_hash2 = _MD5_H.format(x="('s:' || tok)")
+    # MATERIALIZED: sigs is referenced by every band branch and banded by
+    # every membership split — DuckDB inlines CTEs per reference, so
+    # without the hint the 32-min-agg signature pipeline re-expands
+    # multiplicatively down the chain (measured: a 53-pair band self-join
+    # at sf0.001 went from minutes-hung to instant)
     return f"""tokh AS (
         SELECT doc_id, {tok_hash} AS h1,
                {tok_hash2} & {PERM_MASK_55} AS h2
         FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
     ),
-    sigs AS (
+    sigs AS MATERIALIZED (
         SELECT doc_id,
                {mins}
         FROM tokh GROUP BY doc_id
     ),
-    banded AS (
+    banded AS MATERIALIZED (
         {band_selects}
     )"""
 
@@ -744,13 +749,13 @@ def _incr_sig_ctes(num_perm: int, bands: int, cap: int,
     conservative (parity) and exact (id-space) gate queries share one
     signature pipeline."""
     return f"""{_incr_band_ctes(num_perm, bands)},
-    corpus_banded AS (SELECT * FROM banded WHERE {corpus_pred}),
-    new_banded AS (SELECT * FROM banded WHERE {new_pred}),
+    corpus_banded AS MATERIALIZED (SELECT * FROM banded WHERE {corpus_pred}),
+    new_banded AS MATERIALIZED (SELECT * FROM banded WHERE {new_pred}),
     kept_buckets AS (
         SELECT band_id, band_val FROM corpus_banded
         GROUP BY band_id, band_val HAVING count(*) <= {cap}
     ),
-    corpus_capped AS (
+    corpus_capped AS MATERIALIZED (
         SELECT c.doc_id, c.band_id, c.band_val
         FROM corpus_banded c JOIN kept_buckets USING (band_id, band_val)
     ),
@@ -758,7 +763,7 @@ def _incr_sig_ctes(num_perm: int, bands: int, cap: int,
         SELECT band_id, band_val FROM new_banded
         GROUP BY band_id, band_val HAVING count(*) <= {cap}
     ),
-    new_capped AS (
+    new_capped AS MATERIALIZED (
         SELECT n.doc_id, n.band_id, n.band_val
         FROM new_banded n JOIN new_kept_buckets USING (band_id, band_val)
     )"""
@@ -769,6 +774,68 @@ _INCR_JACCARD = (
     "\n                    / len(list_distinct(list_concat(ta.tokens,"
     " tb.tokens))),\n                    6)"
 )
+
+
+# adj/g/batch_dropped CTE text: ascending-id sequential-greedy MIS over an
+# upstream `batch_edges` CTE of (doc_id, other_id) confirmed undirected
+# dup edges — shared by the incremental exact-mode gates and the composed
+# curate_pipeline gate (the WITH list must be declared RECURSIVE).
+_GREEDY_MIS_CTES = """adj AS MATERIALIZED (
+        SELECT doc_id AS a, other_id AS b FROM batch_edges
+        UNION ALL
+        SELECT other_id, doc_id FROM batch_edges
+        UNION ALL
+        SELECT v, NULL::BIGINT FROM (
+            SELECT DISTINCT doc_id AS v FROM batch_edges
+            UNION SELECT DISTINCT other_id FROM batch_edges
+        )
+    ),
+    -- greedy rounds: a vertex row set (b NULL = presence marker, else one
+    -- row per incident edge, both directions). Per round: v_kept = no
+    -- smaller remaining neighbor; v_drop = some incident edge's other
+    -- endpoint kept (the pair window sees both owners' flags; adjacent
+    -- vertices are never both kept in one round); edges touching any
+    -- decided vertex disappear; kept markers are emitted once with
+    -- kept=1 and not re-iterated.
+    g AS (
+        SELECT a, b, 0 AS kept FROM adj
+        UNION ALL
+        SELECT a, b, kept FROM (
+            SELECT a, b, v_kept AS kept, v_drop,
+                   CASE WHEN b IS NULL THEN 0
+                        ELSE max(v_kept + v_drop) OVER (
+                            PARTITION BY least(a, b), greatest(a, b))
+                   END AS pair_decided
+            FROM (
+                SELECT a, b, v_kept,
+                       max(CASE WHEN pair_kept = 1 AND v_kept = 0
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY a) AS v_drop
+                FROM (
+                    SELECT a, b, v_kept,
+                           CASE WHEN b IS NULL THEN 0
+                                ELSE max(v_kept) OVER (
+                                    PARTITION BY least(a, b), greatest(a, b))
+                           END AS pair_kept
+                    FROM (
+                        SELECT a, b,
+                               CASE WHEN max(CASE WHEN b IS NOT NULL
+                                                  AND b < a
+                                                  THEN 1 ELSE 0 END)
+                                         OVER (PARTITION BY a) = 0
+                                    THEN 1 ELSE 0 END AS v_kept
+                        FROM g WHERE kept = 0
+                    )
+                )
+            )
+        )
+        WHERE (kept = 1 AND b IS NULL)
+           OR (kept = 0 AND v_drop = 0 AND pair_decided = 0)
+    ),
+    batch_dropped AS (
+        SELECT DISTINCT a AS doc_id FROM adj
+        WHERE a NOT IN (SELECT a FROM g WHERE kept = 1)
+    )"""
 
 
 def _q_incremental_sql(num_perm: int = 64, bands: int = 16, n: int = 3,
@@ -1119,62 +1186,7 @@ def _q_incremental_exact_sql(num_perm: int = 32, bands: int = 8,
           AND bc.doc_id NOT IN (SELECT doc_id FROM corpus_dropped)
           AND bc.other_id NOT IN (SELECT doc_id FROM corpus_dropped)
     ),
-    adj AS (
-        SELECT doc_id AS a, other_id AS b FROM batch_edges
-        UNION ALL
-        SELECT other_id, doc_id FROM batch_edges
-        UNION ALL
-        SELECT v, NULL::BIGINT FROM (
-            SELECT DISTINCT doc_id AS v FROM batch_edges
-            UNION SELECT DISTINCT other_id FROM batch_edges
-        )
-    ),
-    -- greedy rounds: a vertex row set (b NULL = presence marker, else one
-    -- row per incident edge, both directions). Per round: v_kept = no
-    -- smaller remaining neighbor; v_drop = some incident edge's other
-    -- endpoint kept (the pair window sees both owners' flags; adjacent
-    -- vertices are never both kept in one round); edges touching any
-    -- decided vertex disappear; kept markers are emitted once with
-    -- kept=1 and not re-iterated.
-    g AS (
-        SELECT a, b, 0 AS kept FROM adj
-        UNION ALL
-        SELECT a, b, kept FROM (
-            SELECT a, b, v_kept AS kept, v_drop,
-                   CASE WHEN b IS NULL THEN 0
-                        ELSE max(v_kept + v_drop) OVER (
-                            PARTITION BY least(a, b), greatest(a, b))
-                   END AS pair_decided
-            FROM (
-                SELECT a, b, v_kept,
-                       max(CASE WHEN pair_kept = 1 AND v_kept = 0
-                                THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY a) AS v_drop
-                FROM (
-                    SELECT a, b, v_kept,
-                           CASE WHEN b IS NULL THEN 0
-                                ELSE max(v_kept) OVER (
-                                    PARTITION BY least(a, b), greatest(a, b))
-                           END AS pair_kept
-                    FROM (
-                        SELECT a, b,
-                               CASE WHEN max(CASE WHEN b IS NOT NULL
-                                                  AND b < a
-                                                  THEN 1 ELSE 0 END)
-                                         OVER (PARTITION BY a) = 0
-                                    THEN 1 ELSE 0 END AS v_kept
-                        FROM g WHERE kept = 0
-                    )
-                )
-            )
-        )
-        WHERE (kept = 1 AND b IS NULL)
-           OR (kept = 0 AND v_drop = 0 AND pair_decided = 0)
-    ),
-    batch_dropped AS (
-        SELECT DISTINCT a AS doc_id FROM adj
-        WHERE a NOT IN (SELECT a FROM g WHERE kept = 1)
-    )
+    {_GREEDY_MIS_CTES}
     SELECT doc_id FROM toks
     WHERE doc_id >= 1000000
       AND doc_id NOT IN (SELECT doc_id FROM corpus_dropped)
@@ -3618,6 +3630,256 @@ _Q_LM_FILTER_SQL = f"""
 """
 
 
+# --------------------------------------------------------- curate pipeline
+# THE WHOLE CURATION LINE under one hash gate (plans/curate.py — the
+# engine behind jobs/curate_job.py): Gopher quality -> CCNet LM filter ->
+# exact dedup (keep min id per text) -> MinHash-LSH near-dedup with exact
+# sequential-greedy within-batch semantics -> benchmark decontamination
+# (bench = a deterministic md5 slice of the raw table) -> whitespace
+# token counts -> GPT-style sequence packing. The gate output is the
+# final SEGMENT MAP, so a divergence in ANY stage — a quality ratio, an
+# LM count, a band collision, a greedy round, a contaminated gram —
+# changes the survivor set or offsets and flips the hash red. The DuckDB
+# oracle replays all six stages as chained CTEs (greedy MIS via the
+# shared recursive _GREEDY_MIS_CTES).
+
+_CUR_BENCH_SLOTS = 41  # ~2.4% of raw docs act as the "benchmark" set
+_CUR_SEQ_LEN = 128
+_CUR_SHARDS = 8
+
+
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline hash gate (see block comment). State
+    lives in a throw-away StageCheckpointer dir, so the gate also
+    exercises the stage-chained resume machinery end to end."""
+    import tempfile
+
+    from soweego_spark.operators.dedup import md5_60
+    from soweego_spark.plans.curate import (
+        CurateConfig,
+        load_stage,
+        run_curate,
+    )
+
+    td = tempfile.mkdtemp(prefix="gate_curate_")
+    cfg = CurateConfig(
+        gopher=True,
+        lm=True,
+        lm_slots=_LM_SLOTS,
+        lm_max_oov_pct=_LM_MAX_OOV_PCT,
+        lm_min_avg_num=_LM_MIN_AVG_NUM,
+        lm_min_avg_den=_LM_MIN_AVG_DEN,
+        lm_count_cap=_LM_COUNT_CAP,
+        num_perm=32,
+        bands=8,
+        shingle_n=3,
+        jaccard_threshold=0.7,
+        within_batch="exact",
+        tokenizer="whitespace",
+        seq_len=_CUR_SEQ_LEN,
+        n_shards=_CUR_SHARDS,
+        hash_family="md5",
+    )
+
+    def docs_thunk():
+        return _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def bench_thunk():
+        slot = F.pmod(
+            md5_60(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))),
+            F.lit(_CUR_BENCH_SLOTS),
+        )
+        return (
+            _t(spark, sf_dir, "documents")
+            .where(slot == 0)
+            .select("doc_id", "text")
+        )
+
+    run_curate(spark, td, docs_thunk, cfg, bench_thunk=bench_thunk)
+    return load_stage(spark, td, "pack")
+
+
+def _q_curate_sql(num_perm: int = 32, bands: int = 8, n: int = 3,
+                  cap: int = 10_000, t: float = 0.7) -> str:
+    """DuckDB replica of q_curate_pipeline — all six stages chained."""
+    return f"""
+    WITH RECURSIVE gtoks AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    gbase AS (
+        SELECT doc_id, len(w) AS word_count,
+               len(list_distinct(w)) AS distinct_words,
+               list_sum(list_transform(w, x -> len(x))) AS char_sum
+        FROM gtoks
+    ),
+    ggrams AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id,
+                   unnest([w[i] || ' ' || w[i + 1]
+                           FOR i IN range(1, greatest(len(w) - 1, 0) + 1)])
+                       AS g
+            FROM gtoks
+        ) GROUP BY doc_id, g
+    ),
+    gtop AS (SELECT doc_id, max(c) AS top_bigram_count FROM ggrams
+             GROUP BY doc_id),
+    gpass AS (
+        SELECT b.doc_id
+        FROM gbase b LEFT JOIN gtop tp ON tp.doc_id = b.doc_id
+        WHERE word_count >= 3
+          AND COALESCE(char_sum, 0) / greatest(word_count, 1) <= 12.0
+          AND CAST(distinct_words AS DOUBLE) / greatest(word_count, 1)
+              >= 0.2
+          AND CAST(COALESCE(top_bigram_count, 0) AS DOUBLE)
+              / greatest(word_count - 1, 1) <= 0.5
+    ),
+    aw AS MATERIALIZED (
+        SELECT d.doc_id,
+               list_filter(string_split(lower(d.text), ' '),
+                           x -> x <> '') AS w
+        FROM documents d JOIN gpass USING (doc_id)
+    ),
+    lmtag AS (
+        SELECT doc_id, w,
+               ('0x' || substr(md5('lmref:' || doc_id::VARCHAR), 1, 15))
+                   ::BIGINT % {_LM_SLOTS} AS slot
+        FROM aw
+    ),
+    lmrefg AS (
+        SELECT unnest([('0x' || substr(md5(array_to_string(
+                   w[gi:gi+1], ' ')), 1, 15))::BIGINT
+                   FOR gi IN range(1, len(w))]) AS gh
+        FROM lmtag WHERE slot = 0 AND len(w) >= 2
+    ),
+    lmrefu AS (
+        SELECT unnest([('0x' || substr(md5(w[gi]), 1, 15))::BIGINT
+                   FOR gi IN range(1, len(w) + 1)]) AS gh
+        FROM lmtag WHERE slot = 0 AND len(w) >= 1
+    ),
+    lmmodel AS MATERIALIZED (
+        SELECT gh, count(*) AS c
+        FROM (SELECT gh FROM lmrefg UNION ALL SELECT gh FROM lmrefu)
+        GROUP BY gh
+    ),
+    lmocc0 AS (
+        SELECT doc_id,
+               unnest([{{'gh': ('0x' || substr(md5(array_to_string(
+                            w[gi:gi+1], ' ')), 1, 15))::BIGINT,
+                        'ph': ('0x' || substr(md5(w[gi]), 1, 15))::BIGINT}}
+                       FOR gi IN range(1, len(w))]) AS gu
+        FROM aw WHERE len(w) >= 2
+    ),
+    lmjj AS (
+        SELECT o.doc_id, mg.c AS c_gram
+        FROM (SELECT doc_id, gu.gh AS gh FROM lmocc0) o
+        LEFT JOIN lmmodel mg ON o.gh = mg.gh
+    ),
+    lmper AS (
+        SELECT doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN c_gram IS NULL THEN 1 ELSE 0 END) AS n_oov,
+               sum(least(coalesce(c_gram, 0), {_LM_COUNT_CAP}))
+                   AS sum_c_gram
+        FROM lmjj GROUP BY doc_id
+    ),
+    lmkept AS (
+        SELECT a.doc_id
+        FROM aw a JOIN lmper p USING (doc_id)
+        WHERE p.n_grams >= 1
+          AND p.n_oov * 100 <= p.n_grams * {_LM_MAX_OOV_PCT}
+          AND p.sum_c_gram * {_LM_MIN_AVG_DEN}
+              >= p.n_grams * {_LM_MIN_AVG_NUM}
+    ),
+    ek AS MATERIALIZED (
+        SELECT min(d.doc_id) AS doc_id
+        FROM documents d JOIN lmkept USING (doc_id)
+        GROUP BY d.text
+    ),
+    words AS MATERIALIZED (SELECT a.doc_id, a.w FROM aw a JOIN ek USING (doc_id)),
+    {_incr_tok_ctes(n)},
+    {_incr_sig_ctes(num_perm, bands, cap, "1 = 0", "1 = 1")},
+    batch_cand AS (
+        SELECT DISTINCT a.doc_id, b.doc_id AS other_id
+        FROM new_capped a JOIN new_capped b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id > b.doc_id
+    ),
+    batch_edges AS MATERIALIZED (
+        SELECT bc.doc_id, bc.other_id
+        FROM batch_cand bc
+        JOIN toks ta ON ta.doc_id = bc.doc_id
+        JOIN toks tb ON tb.doc_id = bc.other_id
+        WHERE {_INCR_JACCARD} >= {t}
+    ),
+    {_GREEDY_MIS_CTES},
+    nk AS MATERIALIZED (
+        SELECT doc_id FROM ek
+        WHERE doc_id NOT IN (SELECT doc_id FROM batch_dropped)
+    ),
+    bw AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS w
+        FROM documents
+        WHERE ('0x' || substr(md5('bench:' || doc_id::VARCHAR), 1, 15))
+                  ::BIGINT % {_CUR_BENCH_SLOTS} = 0
+    ),
+    bg AS (
+        SELECT DISTINCT unnest(
+            [('0x' || substr(md5(array_to_string(w[gi:gi+7], ' ')),
+                  1, 15))::BIGINT
+             FOR gi IN range(1, len(w) - 8 + 2)]) AS gh
+        FROM bw WHERE len(w) >= 8
+    ),
+    sg AS (
+        SELECT s.doc_id,
+               unnest([('0x' || substr(md5(array_to_string(
+                           s.w[gi:gi+7], ' ')), 1, 15))::BIGINT
+                       FOR gi IN range(1, len(s.w) - 8 + 2)]) AS gh
+        FROM words s JOIN nk USING (doc_id)
+        WHERE len(s.w) >= 8
+    ),
+    contam AS (SELECT DISTINCT s.doc_id FROM sg s JOIN bg USING (gh)),
+    fk AS (
+        SELECT doc_id FROM nk
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    sized AS (
+        SELECT a.doc_id, len(a.w)::BIGINT AS n,
+               ('0x' || substr(md5('pack:' || a.doc_id::VARCHAR), 1, 15))
+                   ::BIGINT % {_CUR_SHARDS} AS shard
+        FROM aw a JOIN fk USING (doc_id) WHERE len(a.w) >= 1
+    ),
+    ofs AS (
+        SELECT shard, doc_id, n,
+               coalesce(sum(n) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0)::BIGINT AS st
+        FROM sized
+    ),
+    segs AS (
+        SELECT shard, doc_id, st, st + n AS en,
+               unnest(range(st // {_CUR_SEQ_LEN},
+                            (st + n - 1) // {_CUR_SEQ_LEN} + 1)) AS seq_no
+        FROM ofs
+    )
+    SELECT shard::BIGINT AS shard,
+           seq_no::BIGINT AS seq_no,
+           doc_id,
+           (greatest(st, seq_no * {_CUR_SEQ_LEN}) - st)::BIGINT
+               AS tok_offset,
+           (greatest(st, seq_no * {_CUR_SEQ_LEN}) - seq_no * {_CUR_SEQ_LEN})
+               ::BIGINT AS seg_start,
+           (least(en, (seq_no + 1) * {_CUR_SEQ_LEN})
+               - greatest(st, seq_no * {_CUR_SEQ_LEN}))::BIGINT AS seg_len
+    FROM segs
+"""
+
+
 def q_statement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 statement planning under the hash gate: the wikidata-bot
     decision matrix (operators/ingest.plan_claim_additions — add_claim vs
@@ -4737,6 +4999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pack": q_bpe_pack,
         "lm_doc_stats": q_lm_doc_stats,
         "lm_filter": q_lm_filter,
+        "curate_pipeline": q_curate_pipeline,
         "sessionize": q_sessionize,
         "cluster_metrics": q_cluster_metrics,
         "incremental_neardup": q_incremental_neardup,
@@ -4814,6 +5077,7 @@ def _static_oracles() -> dict[str, str]:
         "substring_dedup": _Q_SUBSTR_SQL,
         "lm_doc_stats": _Q_LM_STATS_SQL,
         "lm_filter": _Q_LM_FILTER_SQL,
+        "curate_pipeline": _q_curate_sql(),
         "substring_dedup_cut": _Q_SUBSTR_CUT_SQL,
         "substring_dedup_incremental": _Q_SUBSTR_INCR_SQL,
         "decontaminate": _Q_DECONTAM_SQL,

@@ -128,6 +128,9 @@ ROUND6_QUERIES = [
     # CCNet-style n-gram LM quality pass: ref-slice model + two hash
     # joins + integer decision (operators/lmfilter.py)
     "lm_filter",
+    # the composed curation line: quality -> dedup -> decontam -> pack
+    # (plans/curate.py; the engine behind jobs/curate_job.py)
+    "curate_pipeline",
 ]
 BENCH_QUERIES = (
     BENCH_QUERIES
