@@ -39,8 +39,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from soweego_spark.operators.corpus import _words, gram_occurrences
+from soweego_spark.operators.corpus import _words
 from soweego_spark.operators.dedup import md5_60
+
+
+def _gram_hash_array(wcol, k: int):
+    """array<long> of order-k gram hashes of a word-list column — total
+    for any input: the sequence end is greatest-clamped AND the whole
+    transform is guarded by a size test (short docs yield the empty
+    array, never a partial gram), so it stays safe wherever
+    InferFiltersFromGenerate evaluates it (CLAUDE.md round-6 note)."""
+    empty = F.slice(F.array(F.lit(0).cast("long")), 1, 0)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(wcol) - k, F.lit(0))),
+        lambda i: md5_60(F.concat_ws(" ", F.slice(wcol, i + 1, k))),
+    )
+    return F.when(F.size(wcol) >= k, grams).otherwise(empty)
 
 
 def lm_counts(
@@ -51,13 +65,21 @@ def lm_counts(
 ) -> DataFrame:
     """(gh, c): the n-gram model — corpus-wide occurrence counts of the
     reference slice's order-n AND order-(n-1) grams in one hash-keyed
-    table (orders are prefix-free, see module docstring). One shuffle,
-    vocabulary-sized output."""
+    table (orders are prefix-free, see module docstring). ONE scan of the
+    reference slice (both orders' hash arrays concatenated below a single
+    explode), one map-side-combined shuffle, vocabulary-sized output."""
     if n < 2:
         raise ValueError("lm_counts needs n >= 2 (prefix order n-1 >= 1)")
-    gn = gram_occurrences(ref_docs, n, id_col, text_col).select("gh")
-    gp = gram_occurrences(ref_docs, n - 1, id_col, text_col).select("gh")
-    return gn.unionByName(gp).groupBy("gh").agg(F.count("*").alias("c"))
+    w = _words(ref_docs, id_col, text_col)
+    both = F.concat(
+        _gram_hash_array(F.col("w"), n), _gram_hash_array(F.col("w"), n - 1)
+    )
+    return (
+        w.select(both.alias("ghs"))
+        .select(F.explode("ghs").alias("gh"))
+        .groupBy("gh")
+        .agg(F.count("*").alias("c"))
+    )
 
 
 def gram_prefix_occurrences(
