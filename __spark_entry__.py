@@ -3630,6 +3630,115 @@ _Q_LM_FILTER_SQL = f"""
 """
 
 
+def q_lm_filter_bylang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language LM filtering — the actual CCNet setup (one model per
+    language): lm_filter with ``group_col='lang'``, which trains an
+    independent model per language by namespacing every gram hash with
+    the doc's (coalesced) lang value. Same split, thresholds, and
+    integer-exact decision as lm_filter; a doc only scores against ITS
+    language's reference slice."""
+    from soweego_spark.operators.lmfilter import lm_counts, lm_filter
+
+    ref, scored = _lm_split(spark, sf_dir)
+    model = lm_counts(ref, n=_LM_N, group_col="lang")
+    out = lm_filter(
+        scored,
+        model,
+        n=_LM_N,
+        max_oov_pct=_LM_MAX_OOV_PCT,
+        min_avg_count_num=_LM_MIN_AVG_NUM,
+        min_avg_count_den=_LM_MIN_AVG_DEN,
+        count_cap=_LM_COUNT_CAP,
+        group_col="lang",
+    )
+    return out.withColumn("keep", F.col("keep").cast("long"))
+
+
+# per-language variant of _LM_STATS_CTES: every gram-hash input is
+# prefixed with coalesce(lang,'') || chr(31) — the same namespacing the
+# Spark side applies (lmfilter.GROUP_SEP)
+_LM_BYLANG_CTES = f"""words AS (
+        SELECT doc_id, coalesce(lang, '') AS g,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    tagged AS (
+        SELECT doc_id, g, w,
+               ('0x' || substr(md5('lmref:' || doc_id::VARCHAR), 1, 15))
+                   ::BIGINT % {_LM_SLOTS} AS slot
+        FROM words
+    ),
+    refg AS (
+        SELECT unnest([('0x' || substr(md5(g || chr(31) ||
+                   array_to_string(w[gi:gi+1], ' ')), 1, 15))::BIGINT
+                   FOR gi IN range(1, len(w))]) AS gh
+        FROM tagged WHERE slot = 0 AND len(w) >= 2
+    ),
+    refu AS (
+        SELECT unnest([('0x' || substr(md5(g || chr(31) || w[gi]),
+                   1, 15))::BIGINT
+                   FOR gi IN range(1, len(w) + 1)]) AS gh
+        FROM tagged WHERE slot = 0 AND len(w) >= 1
+    ),
+    model AS MATERIALIZED (
+        SELECT gh, count(*) AS c
+        FROM (SELECT gh FROM refg UNION ALL SELECT gh FROM refu)
+        GROUP BY gh
+    ),
+    scored AS (SELECT doc_id, g, w FROM tagged WHERE slot <> 0),
+    occ0 AS (
+        SELECT doc_id,
+               unnest([{{'gh': ('0x' || substr(md5(g || chr(31) ||
+                            array_to_string(w[gi:gi+1], ' ')), 1, 15))
+                            ::BIGINT,
+                        'ph': ('0x' || substr(md5(g || chr(31) || w[gi]),
+                            1, 15))::BIGINT}}
+                       FOR gi IN range(1, len(w))]) AS gu
+        FROM scored WHERE len(w) >= 2
+    ),
+    occ AS (SELECT doc_id, gu.gh AS gh, gu.ph AS ph FROM occ0),
+    jj AS (
+        SELECT o.doc_id, mg.c AS c_gram, mp.c AS c_prefix
+        FROM occ o
+        LEFT JOIN model mg ON o.gh = mg.gh
+        LEFT JOIN model mp ON o.ph = mp.gh
+    ),
+    per AS (
+        SELECT doc_id,
+               count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN c_gram IS NULL THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_oov,
+               sum(CASE WHEN c_prefix IS NULL THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_ctx_oov,
+               sum(least(coalesce(c_gram, 0), {_LM_COUNT_CAP}))
+                   ::BIGINT AS sum_c_gram,
+               sum(least(coalesce(c_prefix, 0), {_LM_COUNT_CAP}))
+                   ::BIGINT AS sum_c_prefix
+        FROM jj GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT s.doc_id,
+               len(s.w)::BIGINT AS n_tokens,
+               coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+               coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+               coalesce(p.n_ctx_oov, 0)::BIGINT AS n_ctx_oov,
+               coalesce(p.sum_c_gram, 0)::BIGINT AS sum_c_gram,
+               coalesce(p.sum_c_prefix, 0)::BIGINT AS sum_c_prefix
+        FROM scored s LEFT JOIN per p USING (doc_id)
+    )"""
+
+_Q_LM_BYLANG_SQL = f"""
+    WITH {_LM_BYLANG_CTES}
+    SELECT *,
+           (CASE WHEN n_grams >= 1
+                  AND n_oov * 100 <= n_grams * {_LM_MAX_OOV_PCT}
+                  AND sum_c_gram * {_LM_MIN_AVG_DEN}
+                      >= n_grams * {_LM_MIN_AVG_NUM}
+                 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM stats
+"""
+
+
 # --------------------------------------------------------- curate pipeline
 # THE WHOLE CURATION LINE under one hash gate (plans/curate.py — the
 # engine behind jobs/curate_job.py): Gopher quality -> CCNet LM filter ->
@@ -4999,6 +5108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pack": q_bpe_pack,
         "lm_doc_stats": q_lm_doc_stats,
         "lm_filter": q_lm_filter,
+        "lm_filter_bylang": q_lm_filter_bylang,
         "curate_pipeline": q_curate_pipeline,
         "sessionize": q_sessionize,
         "cluster_metrics": q_cluster_metrics,
@@ -5077,6 +5187,7 @@ def _static_oracles() -> dict[str, str]:
         "substring_dedup": _Q_SUBSTR_SQL,
         "lm_doc_stats": _Q_LM_STATS_SQL,
         "lm_filter": _Q_LM_FILTER_SQL,
+        "lm_filter_bylang": _Q_LM_BYLANG_SQL,
         "curate_pipeline": _q_curate_sql(),
         "substring_dedup_cut": _Q_SUBSTR_CUT_SQL,
         "substring_dedup_incremental": _Q_SUBSTR_INCR_SQL,

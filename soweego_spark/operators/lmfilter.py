@@ -43,18 +43,48 @@ from soweego_spark.operators.corpus import _words
 from soweego_spark.operators.dedup import md5_60
 
 
-def _gram_hash_array(wcol, k: int):
+GROUP_SEP = "\x1f"  # namespaces the gram hash by group (per-language models)
+
+
+def _gram_hash_array(wcol, k: int, ns=None):
     """array<long> of order-k gram hashes of a word-list column — total
     for any input: the sequence end is greatest-clamped AND the whole
     transform is guarded by a size test (short docs yield the empty
     array, never a partial gram), so it stays safe wherever
-    InferFiltersFromGenerate evaluates it (CLAUDE.md round-6 note)."""
+    InferFiltersFromGenerate evaluates it (CLAUDE.md round-6 note).
+    ``ns`` (optional column) prefixes every hash input with
+    ``<ns>\\x1f`` — the per-group namespacing trick: one hash space holds
+    one independent model PER GROUP with no composite join keys."""
     empty = F.slice(F.array(F.lit(0).cast("long")), 1, 0)
+
+    # single-parameter callable ONLY: F.transform treats a two-parameter
+    # callable as (element, index) — a `def h(i, k=k)` habit here fed the
+    # ARRAY INDEX into k and silently hashed wrong-length slices
+    def h(i):
+        g = F.concat_ws(" ", F.slice(wcol, i + 1, k))
+        if ns is not None:
+            g = F.concat_ws(GROUP_SEP, ns, g)
+        return md5_60(g)
+
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(wcol) - k, F.lit(0))),
-        lambda i: md5_60(F.concat_ws(" ", F.slice(wcol, i + 1, k))),
+        F.sequence(F.lit(0), F.greatest(F.size(wcol) - k, F.lit(0))), h
     )
     return F.when(F.size(wcol) >= k, grams).otherwise(empty)
+
+
+def _wframe(docs: DataFrame, id_col: str, text_col: str, group_col):
+    """(doc_id, [g,] w): word-list frame, with the coalesced group column
+    when per-group models are requested (NULL group -> '' in BOTH engines
+    so the oracle's ``coalesce(lang, '')`` namespacing replays)."""
+    cols = [F.col(id_col).alias("doc_id")]
+    if group_col is not None:
+        cols.append(F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"))
+    cols.append(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
+        ).alias("w")
+    )
+    return docs.select(*cols)
 
 
 def lm_counts(
@@ -62,21 +92,34 @@ def lm_counts(
     n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_col: str | None = None,
 ) -> DataFrame:
     """(gh, c): the n-gram model — corpus-wide occurrence counts of the
     reference slice's order-n AND order-(n-1) grams in one hash-keyed
     table (orders are prefix-free, see module docstring). ONE scan of the
     reference slice (both orders' hash arrays concatenated below a single
-    explode), one map-side-combined shuffle, vocabulary-sized output."""
+    explode), one map-side-combined shuffle, vocabulary-sized output.
+
+    ``group_col`` (e.g. ``lang``) trains an independent model per group —
+    the CCNet per-language setup — by namespacing every hash with the
+    group value; downstream joins and statistics are unchanged."""
     if n < 2:
         raise ValueError("lm_counts needs n >= 2 (prefix order n-1 >= 1)")
-    w = _words(ref_docs, id_col, text_col)
-    both = F.concat(
-        _gram_hash_array(F.col("w"), n), _gram_hash_array(F.col("w"), n - 1)
+    w = _wframe(ref_docs, id_col, text_col, group_col)
+    ns = F.col("g") if group_col is not None else None
+    keep = ["g", "w"] if group_col is not None else ["w"]
+    # ONE higher-order function per projection: two sibling transforms in
+    # a single select mis-bind their same-named lambda variables
+    # (CLAUDE.md round-3 trap — observed here as the order-n array
+    # hashing the other transform's slice)
+    a = w.select(*keep, _gram_hash_array(F.col("w"), n, ns).alias("h1"))
+    b = a.select(
+        F.concat(F.col("h1"), _gram_hash_array(F.col("w"), n - 1, ns)).alias(
+            "ghs"
+        )
     )
     return (
-        w.select(both.alias("ghs"))
-        .select(F.explode("ghs").alias("gh"))
+        b.select(F.explode("ghs").alias("gh"))
         .groupBy("gh")
         .agg(F.count("*").alias("c"))
     )
@@ -87,6 +130,7 @@ def gram_prefix_occurrences(
     n: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, pos, gh, ph): every order-n gram occurrence with its own
     hash and its order-(n-1) prefix hash, 0-based position. Docs shorter
@@ -94,14 +138,21 @@ def gram_prefix_occurrences(
     BELOW the explode (no O(array) sibling beside the generator), and the
     sequence end is greatest-clamped so the expression stays total if
     InferFiltersFromGenerate evaluates it on rows the size guard excludes
-    (both CLAUDE.md notes)."""
-    w = _words(docs, id_col, text_col).where(F.size("w") >= n)
+    (both CLAUDE.md notes). With ``group_col`` the hashes carry the
+    doc's own group namespace, so each doc scores against ITS group's
+    model."""
+    w = _wframe(docs, id_col, text_col, group_col).where(F.size("w") >= n)
+    ns = F.col("g") if group_col is not None else None
+
+    def h(i, k):
+        g = F.concat_ws(" ", F.slice("w", i + 1, k))
+        if ns is not None:
+            g = F.concat_ws(GROUP_SEP, ns, g)
+        return md5_60(g)
+
     structs = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
-        lambda i: F.struct(
-            md5_60(F.concat_ws(" ", F.slice("w", i + 1, n))).alias("gh"),
-            md5_60(F.concat_ws(" ", F.slice("w", i + 1, n - 1))).alias("ph"),
-        ),
+        lambda i: F.struct(h(i, n).alias("gh"), h(i, n - 1).alias("ph")),
     )
     return (
         w.select("doc_id", structs.alias("gps"))
@@ -117,6 +168,7 @@ def lm_doc_stats(
     count_cap: int = 1_000_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-document integer sufficient statistics against the model:
 
@@ -127,7 +179,7 @@ def lm_doc_stats(
     with fewer than n words appear with zero grams (left join back to the
     full doc set) — every downstream consumer sees one row per input doc.
     """
-    occ = gram_prefix_occurrences(docs, n, id_col, text_col)
+    occ = gram_prefix_occurrences(docs, n, id_col, text_col, group_col)
     mg = model.select("gh", F.col("c").alias("c_gram"))
     mp = model.select(F.col("gh").alias("ph"), F.col("c").alias("c_prefix"))
     j = occ.join(mg, "gh", "left").join(mp, "ph", "left")
@@ -172,6 +224,7 @@ def lm_filter(
     count_cap: int = 1_000_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_col: str | None = None,
 ) -> DataFrame:
     """The quality decision over :func:`lm_doc_stats`: keep a doc iff it
     has at least one gram, its OOV rate is ≤ ``max_oov_pct`` percent, and
@@ -180,7 +233,7 @@ def lm_filter(
     (no division, no floats — exact in Spark, DuckDB, and Python alike),
     so the whole decision hash-replays in the oracle. Returns the stats
     plus a ``keep`` boolean; callers drop with ``.where("keep")``."""
-    stats = lm_doc_stats(docs, model, n, count_cap, id_col, text_col)
+    stats = lm_doc_stats(docs, model, n, count_cap, id_col, text_col, group_col)
     keep = (
         (F.col("n_grams") >= 1)
         & (F.col("n_oov") * 100 <= F.col("n_grams") * int(max_oov_pct))
@@ -199,6 +252,7 @@ def lm_log_prob(
     n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Convenience add-one-smoothed log-probability / perplexity (doubles;
     NOT hash-gated — libm ``log`` has no cross-engine bit guarantee):
@@ -207,7 +261,7 @@ def lm_log_prob(
     n_grams). ``vocab_size`` is the model's distinct order-(n-1) gram
     count (the caller computed it when training). Pure column expressions
     over the same two hash joins as the stats — JVM-side end to end."""
-    occ = gram_prefix_occurrences(docs, n, id_col, text_col)
+    occ = gram_prefix_occurrences(docs, n, id_col, text_col, group_col)
     mg = model.select("gh", F.col("c").alias("c_gram"))
     mp = model.select(F.col("gh").alias("ph"), F.col("c").alias("c_prefix"))
     j = occ.join(mg, "gh", "left").join(mp, "ph", "left")

@@ -186,6 +186,59 @@ def test_log_prob_matches_python_replay(spark):
         assert got[doc_id][2] == pytest.approx(math.exp(-lp / n), rel=1e-12)
 
 
+def test_per_group_models_are_isolated(spark):
+    """group_col trains one independent model per group via hash
+    namespacing: a phrase common in group A's reference contributes
+    NOTHING to a group-B doc's statistics, and the same doc set scored
+    without grouping sees the cross-group counts."""
+    rows = [
+        (1, "the cat sat", "en"),
+        (2, "the cat sat", "en"),
+        (10, "the cat sat", "de"),  # same words, different group
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = lm_counts(docs, n=2, group_col="lang")
+    got = {
+        r["doc_id"]: (r["n_oov"], r["sum_c_gram"])
+        for r in lm_doc_stats(docs, model, n=2, group_col="lang").collect()
+    }
+    # en: each bigram counted twice (docs 1+2); de: its own model of one doc
+    assert got[1] == (0, 4) and got[2] == (0, 4)
+    assert got[10] == (0, 2)
+    # ungrouped: all three docs share one model -> counts of 3 per bigram
+    flat = lm_counts(docs, n=2)
+    gotf = {
+        r["doc_id"]: (r["n_oov"], r["sum_c_gram"])
+        for r in lm_doc_stats(docs, flat, n=2).collect()
+    }
+    assert gotf[1] == (0, 6) and gotf[10] == (0, 6)
+    # a de doc with en-only phrases is fully OOV under grouping
+    probe = spark.createDataFrame(
+        [(99, "the cat sat", "fr")], "doc_id long, text string, lang string"
+    )
+    gp = {
+        r["doc_id"]: r["n_oov"]
+        for r in lm_doc_stats(probe, model, n=2, group_col="lang").collect()
+    }
+    assert gp[99] == 2  # no fr reference -> everything OOV
+
+
+def test_group_null_coalesces_to_empty(spark):
+    """NULL group values namespace as '' (matching the oracle's
+    coalesce(lang, ''))."""
+    docs = spark.createDataFrame(
+        [(1, "a b", None), (2, "a b", "")],
+        "doc_id long, text string, lang string",
+    )
+    model = lm_counts(docs, n=2, group_col="lang")
+    got = {
+        r["doc_id"]: r["sum_c_gram"]
+        for r in lm_doc_stats(docs, model, n=2, group_col="lang").collect()
+    }
+    # NULL and '' share one namespace: bigram 'a b' has count 2 for both
+    assert got[1] == 2 and got[2] == 2
+
+
 def test_partitioning_invariance(spark):
     rows = [(i, f"w{i % 4} common w{i % 3} common") for i in range(40)]
     ref = _mk(spark, rows[:15])
