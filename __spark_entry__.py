@@ -2011,6 +2011,11 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # NOT fused (r7, measured): a shared (doc, lang, trigram) count table
+    # serving both train and classify A/B'd ~10% SLOWER than the two-pass
+    # shape — the profile pass's (lang, tg) grouping map-side-combines to
+    # a vocabulary-sized shuffle that the fused higher-cardinality
+    # grouping forfeits, outweighing the saved explode.
     profiles = train_lang_profiles(docs, top_k=50)
     return classify_languages(docs, profiles)
 
@@ -2333,7 +2338,10 @@ def _pair_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagship path (assemble_pairs + compute_features)."""
     from soweego_spark.operators.pairfeatures import featurize
 
-    sig = _part_signature_frame(spark, sf_dir)
+    # the synthetic signature frame feeds four consumers (both blocking
+    # sides + both assemble_pairs sides); persist the sample-bounded rows
+    # once instead of rebuilding the map/array columns per consumer (r7)
+    sig = _part_signature_frame(spark, sf_dir).persist()
     a = sig.select("block", F.col("url").alias("url_a"), F.col("pk").alias("_pka"))
     b = sig.select("block", F.col("url").alias("url_b"), F.col("pk").alias("_pkb"))
     pairs = (

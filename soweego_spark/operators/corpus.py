@@ -98,7 +98,11 @@ def duplicated_spans(
     (boilerplate) — at web scale the hot-gram histogram is the same
     broadcast-anti shape as the band caps in dedup.py.
     """
-    grams = gram_occurrences(docs, k, id_col, text_col)
+    # the gram frame feeds the corpus-wide count AND the join back —
+    # uncached, the scan + k-word concat + md5 per gram ran twice (r7
+    # plan audit). The rows are three fixed-width columns (~24 B/gram),
+    # far cheaper to persist than to re-hash; within-query reuse only.
+    grams = gram_occurrences(docs, k, id_col, text_col).persist()
     counts = grams.groupBy("gh").agg(F.count("*").alias("c"))
     dup = counts.where(F.col("c") >= min_count)
     if max_count is not None:
@@ -183,7 +187,9 @@ def duplicated_spans_incremental(
     the same island merge. The corpus state is counts only — no corpus
     text is ever rescanned.
     """
-    grams = gram_occurrences(new_docs, k, id_col, text_col)
+    # same two-consumer reuse as duplicated_spans: persist the batch's
+    # narrow gram rows instead of re-hashing them for the join back (r7)
+    grams = gram_occurrences(new_docs, k, id_col, text_col).persist()
     own = grams.groupBy("gh").agg(F.count("*").alias("own_c"))
     total = (
         own.join(corpus_counts.select("gh", "c"), "gh", "left")

@@ -63,6 +63,8 @@ def md5_60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+
+
 def md5_60_py(s: str) -> int:
     """The same hash in Python — used to derive permutation salts that are
     embedded as literals in BOTH the Spark plan and the SQL oracle."""
@@ -250,6 +252,14 @@ def minhash_lsh_candidates(
     """
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
 
+    # Deliberately NO persist here (r7, measured): this is one lazy query
+    # execution, and AQE's runtime exchange reuse already deduplicates
+    # the identical signature subtree across the hot-count and both
+    # self-join sides — persisting the band table A/B'd as a consistent
+    # ~1.3x LOSS (cache-write pass for rows exchange reuse delivers
+    # free), unlike simhash_pairs where the expensive POST-exchange
+    # 60-column aggregate re-ran per consumer and persisting its tiny
+    # output won 2x.
     signed = minhash_signatures(toks, num_perm=num_perm, hash_family=hash_family)
     banded = band_keys(signed, num_perm=num_perm, bands=bands)
 
@@ -365,10 +375,16 @@ def simhash_pairs(
     Same hot-bucket cap as MinHash-LSH for skew.
     """
     n_blocks = max_hamming + 1
+    # sig is 16 bytes/doc and feeds three consumers (hot-bucket count +
+    # both self-join sides): uncached, the full scan -> token explode ->
+    # 60-column bit-sum aggregate re-ran once per consumer (r7 plan
+    # audit: 3 scans / 6 Exchanges of the signature subtree). Persisting
+    # the tiny signature frame collapses that to one pass; same
+    # within-query-only rationale as minhash_lsh_candidates.
     sig = simhash_signatures(
         docs, id_col=id_col, text_col=text_col, bits=bits,
         hash_family=hash_family,
-    )
+    ).persist()
 
     # Block i covers bit range [lo_i, lo_i + width_i); widths differ by at
     # most 1 so all 64 bits are covered.
@@ -418,8 +434,13 @@ def simhash_pairs(
                 "hamming"
             ),
         )
-        .distinct()
+        # filter BEFORE the distinct: block collisions nominate many
+        # pairs whose full-signature Hamming exceeds the cap, and hamming
+        # is a function of (doc_a, doc_b), so dropping them first shrinks
+        # the dedup Exchange without changing the result set (guide §2.3
+        # "shuffle fewer bytes"; r7)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -513,10 +534,14 @@ def fingerprint_neardup(
     """Near-dup candidates via shared winnowing fingerprints: explode ->
     self-join on fingerprint (df-capped for skew) -> pairs with at least
     ``min_shared`` shared fingerprints."""
+    # fp feeds the document-frequency count and both self-join sides —
+    # persist the narrow (doc_id, fingerprint) rows once instead of
+    # re-running the k-gram + window-min transform per consumer (r7;
+    # same within-query rationale as minhash_lsh_candidates)
     fp = winnowing_fingerprints(
         docs, id_col=id_col, text_col=text_col, k=k, window=window,
         hash_family=hash_family,
-    )
+    ).persist()
     counts = fp.groupBy("fingerprint").agg(F.count("*").alias("df"))
     hot = counts.filter(F.col("df") > max_df).select("fingerprint")
     fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
@@ -592,7 +617,7 @@ def incremental_exact_dedup(
 
 def incremental_minhash_neardup(
     new_toks: DataFrame,
-    corpus_toks: DataFrame,
+    corpus_toks: DataFrame | None,
     jaccard_threshold: float = 0.7,
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
@@ -607,6 +632,10 @@ def incremental_minhash_neardup(
     finding candidates via band-bucket collisions (new bands probe the
     corpus bands — an equi-join, no self-join against the corpus, no
     corpus rescan).
+
+    ``corpus_toks=None`` declares there is NO corpus (a self-dedup
+    composition or a loop's first batch): the corpus probe/confirm
+    branch is skipped at plan time entirely (r7).
 
     ``within_batch`` additionally dedups the batch against ITSELF —
     without it (``False``), two near-dups arriving in the same batch
@@ -647,23 +676,59 @@ def incremental_minhash_neardup(
             "within_batch must be True/'conservative', 'exact', or False; "
             f"got {within_batch!r}"
         )
-    if corpus_banded is None:
-        corpus_banded = band_keys(
-            minhash_signatures(
-                corpus_toks, num_perm=num_perm, hash_family=hash_family
-            ),
-            num_perm=num_perm,
-            bands=bands,
+    if corpus_toks is None and corpus_banded is not None:
+        raise ValueError(
+            "corpus_banded without corpus_toks: the Jaccard confirm needs "
+            "the corpus token arrays"
         )
-    bucket_counts = corpus_banded.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_n")
-    )
-    hot = bucket_counts.filter(F.col("bucket_n") > max_bucket_size).select(
-        "band_id", "band_hash"
-    )
-    corpus_capped = corpus_banded.join(
-        F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
-    )
+    # Within-call reuse (r7, measured fresh-JVM interleaved): the
+    # CONSERVATIVE/None paths stay fully lazy — they are one query
+    # execution, and AQE's runtime exchange reuse already deduplicates
+    # the identical signature/band subtrees there (persisting + eagerly
+    # checkpointing that path measured a 1.6x LOSS at sf0.1). EXACT mode
+    # spans several eager actions (corpus confirm, edge checkpoint, the
+    # final join), across which exchange reuse cannot apply — there the
+    # batch band table (three fixed-width columns, batch-bounded) is
+    # persisted and released before return. Token frames are never
+    # persisted: serializing wide token arrays into cache blocks costs
+    # more than recomputing them (the r3 lesson), and the corpus side
+    # must always stream (it grows forever).
+    released: list[DataFrame] = []
+
+    def _release_all() -> None:
+        for df in released:
+            df.unpersist()
+
+    # corpus_toks=None — the explicit no-corpus contract (self-dedup
+    # compositions, e.g. the curate near-dup stage or an ingest loop's
+    # first batch) — skips the whole corpus branch at plan time: the
+    # corpus probe, the corpus confirm, an eager empty checkpoint and
+    # two anti joins on the edge frame all vanish. (An empty
+    # ``createDataFrame([], ...)`` CANNOT be detected instead: PySpark
+    # builds it as a LogicalRDD whose emptiness the optimizer provably
+    # cannot see — optimizedPlan().maxRows() is None — verified r7.)
+    corpus_empty = corpus_banded is None and corpus_toks is None
+
+    if corpus_empty:
+        cand = None
+    else:
+        if corpus_banded is None:
+            corpus_banded = band_keys(
+                minhash_signatures(
+                    corpus_toks, num_perm=num_perm, hash_family=hash_family
+                ),
+                num_perm=num_perm,
+                bands=bands,
+            )
+        bucket_counts = corpus_banded.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("bucket_n")
+        )
+        hot = bucket_counts.filter(
+            F.col("bucket_n") > max_bucket_size
+        ).select("band_id", "band_hash")
+        corpus_capped = corpus_banded.join(
+            F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
+        )
 
     new_banded = band_keys(
         minhash_signatures(
@@ -672,16 +737,22 @@ def incremental_minhash_neardup(
         num_perm=num_perm,
         bands=bands,
     )
-    cand = (
-        new_banded.join(
-            corpus_capped.select(
-                "band_id", "band_hash", F.col("doc_id").alias("other_id")
-            ),
-            ["band_id", "band_hash"],
+    if mode == "exact":
+        # exact mode consumes new_banded from two separate eager actions
+        # (the corpus probe and the in-batch edge build)
+        new_banded = new_banded.persist()
+        released.append(new_banded)
+    if not corpus_empty:
+        cand = (
+            new_banded.join(
+                corpus_capped.select(
+                    "band_id", "band_hash", F.col("doc_id").alias("other_id")
+                ),
+                ["band_id", "band_hash"],
+            )
+            .select("doc_id", "other_id")
+            .distinct()
         )
-        .select("doc_id", "other_id")
-        .distinct()
-    )
     batch_cand = None
     if mode is not None:
         new_hot = (
@@ -718,11 +789,17 @@ def incremental_minhash_neardup(
             pairs.join(ta, "doc_id").join(tb, "other_id").filter(confirmed)
         )
 
+    if mode is None and corpus_empty:
+        return new_toks
+
     if mode in (None, "conservative"):
         other_toks = corpus_toks
         if mode == "conservative":
-            cand = cand.unionByName(batch_cand).distinct()
-            other_toks = corpus_toks.unionByName(new_toks)
+            if corpus_empty:
+                cand, other_toks = batch_cand, new_toks
+            else:
+                cand = cand.unionByName(batch_cand).distinct()
+                other_toks = corpus_toks.unionByName(new_toks)
         dup_ids = confirm(cand, other_toks).select("doc_id").distinct()
         return new_toks.join(dup_ids, "doc_id", "left_anti")
 
@@ -738,21 +815,35 @@ def incremental_minhash_neardup(
     # rows, tiny relative to the batch) instead of recomputing signatures
     # per consumer (~1.5x wall measured at sf0.1). Same pinned-RDD budget
     # as documented on _greedy_component_drops.
-    corpus_dropped = (
-        confirm(cand, corpus_toks).select("doc_id").distinct()
-        .localCheckpoint()
-    )
     edges = confirm(batch_cand, new_toks).select("doc_id", "other_id")
-    edges = edges.join(corpus_dropped, "doc_id", "left_anti").join(
-        corpus_dropped.select(F.col("doc_id").alias("other_id")),
-        "other_id",
-        "left_anti",
-    ).localCheckpoint()
-    dup_ids = corpus_dropped.unionByName(
-        _greedy_component_drops(
-            edges, max_component_edges=max_component_edges
+    if corpus_empty:
+        # no corpus: no unconditional drops, no edge filtering — the
+        # greedy pass over the in-batch graph is the whole answer
+        corpus_dropped = None
+    else:
+        corpus_dropped = (
+            confirm(cand, corpus_toks).select("doc_id").distinct()
+            .localCheckpoint()
         )
-    ).distinct()
+        edges = edges.join(corpus_dropped, "doc_id", "left_anti").join(
+            corpus_dropped.select(F.col("doc_id").alias("other_id")),
+            "other_id",
+            "left_anti",
+        )
+    edges = edges.localCheckpoint()
+    greedy = _greedy_component_drops(
+        edges, max_component_edges=max_component_edges
+    )
+    dup_ids = (
+        greedy if corpus_dropped is None
+        else corpus_dropped.unionByName(greedy).distinct()
+    )
+    # every heavy reuse is materialized (corpus_dropped/edges are
+    # checkpointed; the greedy join path checkpoints its own output) —
+    # release the within-call persists; the final anti join re-derives
+    # new_toks once from lineage. The anti join ignores duplicate dup_ids
+    # rows, so no distinct is needed in the corpus-empty branch.
+    _release_all()
     return new_toks.join(dup_ids, "doc_id", "left_anti")
 
 
@@ -807,6 +898,48 @@ def _greedy_component_drops(
                 F.col("doc_id").alias("a"), F.col("other_id").alias("b")
             )
         )
+
+    def per_comp(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict = {}
+        for a, b in zip(pdf["a"], pdf["b"]):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        kept: set = set()
+        dropped = []
+        for node in sorted(adj):
+            if adj[node] & kept:
+                dropped.append(node)
+            else:
+                kept.add(node)
+        return pd.DataFrame({"doc_id": dropped})
+
+    # Whole-graph fast path (r7): sequential greedy is SEPARABLE across
+    # components (a node's fate depends only on its own component), so
+    # when the ENTIRE confirmed graph fits the per-component cap, one
+    # applyInPandas task over the whole edge set decides identically —
+    # in the same memory envelope the per-component path already accepts
+    # for a single cap-sized component — and the CC loop + size routing
+    # (~15-20 driver-scheduled jobs at sandbox scale) vanishes. The
+    # caller hands the edges in as an eager localCheckpoint, so the
+    # count probe is one cheap job.
+    n_edges = edges.count()
+    if n_edges == 0:
+        return edges.sparkSession.createDataFrame(
+            [], StructType([StructField("doc_id", id_type)])
+        )
+    if n_edges <= max_component_edges:
+        return (
+            edges.select(
+                F.lit(0).alias("_g"),
+                F.col("doc_id").alias("a"),
+                F.col("other_id").alias("b"),
+            )
+            .groupBy("_g")
+            .applyInPandas(
+                per_comp,
+                schema=StructType([StructField("doc_id", id_type)]),
+            )
+        )
     comp = connected_components(
         edges, src="doc_id", dst="other_id", release_checkpoint=True
     )
@@ -825,20 +958,6 @@ def _greedy_component_drops(
     # >cap edges) — broadcast the anti/semi probes
     small = ec.join(F.broadcast(over), "cluster_id", "left_anti")
     big = ec.join(F.broadcast(over), "cluster_id", "left_semi")
-
-    def per_comp(pdf: pd.DataFrame) -> pd.DataFrame:
-        adj: dict = {}
-        for a, b in zip(pdf["a"], pdf["b"]):
-            adj.setdefault(a, set()).add(b)
-            adj.setdefault(b, set()).add(a)
-        kept: set = set()
-        dropped = []
-        for node in sorted(adj):
-            if adj[node] & kept:
-                dropped.append(node)
-            else:
-                kept.add(node)
-        return pd.DataFrame({"doc_id": dropped})
 
     small_drops = small.groupBy("cluster_id").applyInPandas(
         per_comp, schema=StructType([StructField("doc_id", id_type)])

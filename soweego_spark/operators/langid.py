@@ -89,3 +89,4 @@ def classify_languages(
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("lang").alias("predicted_lang"), "score")
     )
+

@@ -39,7 +39,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from soweego_spark.operators.corpus import _words
 from soweego_spark.operators.dedup import md5_60
 
 
@@ -179,17 +178,71 @@ def lm_doc_stats(
     with fewer than n words appear with zero grams (left join back to the
     full doc set) — every downstream consumer sees one row per input doc.
     """
-    occ = gram_prefix_occurrences(docs, n, id_col, text_col, group_col)
+    # ONE scan of the scored documents (r7, guide §2.3/§6): the old shape
+    # paid a second full scan + tokenize just for the n_tokens base frame
+    # and a join back for the docs-shorter-than-n rows. Instead n_tokens
+    # rides next to the gram-struct array and an explode_outer keeps the
+    # gramless docs as a single null-gram row — the aggregates below
+    # count only non-null gram positions, so the sufficient statistics
+    # are identical row for row.
+    w = _wframe(docs, id_col, text_col, group_col)
+    ns = F.col("g") if group_col is not None else None
+
+    def h(i, k):
+        g = F.concat_ws(" ", F.slice("w", i + 1, k))
+        if ns is not None:
+            g = F.concat_ws(GROUP_SEP, ns, g)
+        return md5_60(g)
+
+    structs = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
+        lambda i: F.struct(h(i, n).alias("gh"), h(i, n - 1).alias("ph")),
+    )
+    # total for any input (the InferFiltersFromGenerate clamp +
+    # empty-array guard, CLAUDE.md round-6 note); docs shorter than n
+    # carry an EMPTY array so explode_outer emits their null-gram row
+    empty = F.slice(
+        F.array(
+            F.struct(
+                F.lit(0).cast("long").alias("gh"),
+                F.lit(0).cast("long").alias("ph"),
+            )
+        ),
+        1,
+        0,
+    )
+    gps = F.when(F.size("w") >= n, structs).otherwise(empty)
+    occ = (
+        w.select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            gps.alias("gps"),
+        )
+        .select("doc_id", "n_tokens", F.explode_outer("gps").alias("gp"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("gp.gh").alias("gh"),
+            F.col("gp.ph").alias("ph"),
+        )
+    )
     mg = model.select("gh", F.col("c").alias("c_gram"))
     mp = model.select(F.col("gh").alias("ph"), F.col("c").alias("c_prefix"))
     j = occ.join(mg, "gh", "left").join(mp, "ph", "left")
     cap = F.lit(int(count_cap)).cast("long")
-    per = j.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_grams"),
-        F.sum(F.when(F.col("c_gram").isNull(), 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("gh").cast("long").alias("n_grams"),
+        F.sum(
+            F.when(F.col("gh").isNotNull() & F.col("c_gram").isNull(), 1)
+            .otherwise(0)
+        )
         .cast("long")
         .alias("n_oov"),
-        F.sum(F.when(F.col("c_prefix").isNull(), 1).otherwise(0))
+        F.sum(
+            F.when(F.col("ph").isNotNull() & F.col("c_prefix").isNull(), 1)
+            .otherwise(0)
+        )
         .cast("long")
         .alias("n_ctx_oov"),
         F.sum(F.least(F.coalesce(F.col("c_gram"), F.lit(0)), cap))
@@ -198,19 +251,6 @@ def lm_doc_stats(
         F.sum(F.least(F.coalesce(F.col("c_prefix"), F.lit(0)), cap))
         .cast("long")
         .alias("sum_c_prefix"),
-    )
-    base = _words(docs, id_col, text_col).select(
-        "doc_id", F.size("w").cast("long").alias("n_tokens")
-    )
-    zero = F.lit(0).cast("long")
-    out = base.join(per, "doc_id", "left")
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        *[
-            F.coalesce(F.col(c), zero).alias(c)
-            for c in ("n_grams", "n_oov", "n_ctx_oov", "sum_c_gram", "sum_c_prefix")
-        ],
     )
 
 

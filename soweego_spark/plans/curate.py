@@ -137,6 +137,10 @@ def run_curate(
     result: dict = {"stages": []}
     t_start = time.time()
     n_stages = 0
+    # id-only frames a stage's compute materializes for within-stage reuse
+    # (e.g. the gopher keep list below); released as soon as the stage's
+    # parquet is written so nothing stays pinned across stages (r7)
+    to_release: list[DataFrame] = []
 
     def stage(name: str, compute) -> DataFrame | None:
         nonlocal chain, n_stages
@@ -146,7 +150,16 @@ def run_curate(
         chain = config_hash(stage_cfg)
         out = ckpt.stage(name, stage_cfg, compute)
         n_stages += 1
-        result["stages"].append({"stage": name, "rows": out.count()})
+        from soweego_spark.operators.cluster import _unpersist_checkpoint
+
+        for df in to_release:
+            _unpersist_checkpoint(df)
+        to_release.clear()
+        # the manifest already carries the persisted row count — reading
+        # it back avoids one count job per stage (3 -> 2 actions/stage)
+        mf = ckpt.manifest(name)
+        rows = mf["row_count"] if mf else out.count()
+        result["stages"].append({"stage": name, "rows": rows})
         return out
 
     # 1. quality -----------------------------------------------------
@@ -155,9 +168,18 @@ def run_curate(
 
         docs = docs_thunk().select("doc_id", "text")
         if cfg.gopher:
+            # materialize the (id-only, batch-bounded) keep list ONCE:
+            # the LM stage consumes the gopher-filtered frame three times
+            # (model slice, scoring scan, final semi join) and each
+            # consumer re-ran the whole gopher bigram shuffle from
+            # scratch — the dominant cost of the quality stage at sf0.1
+            # (r7 stage diagnostic; released by stage() after the write)
             passed = gopher_quality(docs).where("quality_pass").select(
                 F.col("id").alias("doc_id")
             )
+            if cfg.lm:
+                passed = passed.localCheckpoint()
+                to_release.append(passed)
             docs = docs.join(passed, "doc_id", "left_semi")
         if cfg.lm:
             docs = _lm_keep(docs, cfg)
@@ -197,10 +219,11 @@ def run_curate(
         )
 
         toks = shingles(src, n=cfg.shingle_n)
-        empty = spark.createDataFrame([], "doc_id long, tokens array<string>")
+        # corpus_toks=None — the operator's explicit no-corpus contract:
+        # the corpus probe/confirm branch never plans (r7)
         survivors = incremental_minhash_neardup(
             toks,
-            empty,
+            None,
             jaccard_threshold=cfg.jaccard_threshold,
             num_perm=cfg.num_perm,
             bands=cfg.bands,

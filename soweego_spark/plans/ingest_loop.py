@@ -155,16 +155,13 @@ def run_ingest_loop(
             batch = thunk()
             exact_kept, _ = incremental_exact_dedup(batch, seen)
             toks = shingles(exact_kept, n=cfg.shingle_n)
-            corpus_arg = (
-                corpus_toks
-                if corpus_toks is not None
-                else spark.createDataFrame(
-                    [], "doc_id long, tokens array<string>"
-                )
-            )
+            # corpus_toks=None on the first batch: the operator's
+            # explicit no-corpus contract skips the whole corpus branch
+            # at plan time (r7) — an empty createDataFrame is a
+            # LogicalRDD the optimizer cannot prove empty
             kept = incremental_minhash_neardup(
                 toks,
-                corpus_arg,
+                corpus_toks,
                 jaccard_threshold=cfg.jaccard_threshold,
                 num_perm=cfg.num_perm,
                 bands=cfg.bands,
@@ -216,7 +213,11 @@ def run_ingest_loop(
             )
 
         n_in = thunk().count()
-        n_kept = kept_docs.count()
+        # the kept stage's manifest already carries the persisted row
+        # count — no second scan of the kept parquet (r7; one count job
+        # per batch saved)
+        mf = ckpt.manifest(f"kept_b{i}")
+        n_kept = mf["row_count"] if mf else kept_docs.count()
         result.batches.append(
             {"batch": i, "id": batch_id, "docs_in": n_in,
              "docs_kept": n_kept,

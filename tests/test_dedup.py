@@ -667,3 +667,46 @@ def test_greedy_joins_scale_proof_constrained_heap():
     dense, chain = results
     assert dense["drops"] == 300_000
     assert chain["rounds"] == 20 and chain["drops"] == 20
+
+
+def test_none_corpus_contract_matches_opaque_empty(spark):
+    """r7: corpus_toks=None (the explicit no-corpus contract, which
+    skips the whole corpus branch at plan time) must decide identically
+    to the same call with an opaque runtime-empty corpus frame, in every
+    within_batch mode."""
+    from soweego_spark.operators.dedup import incremental_minhash_neardup
+
+    base = [f"w{i}" for i in range(12)]
+    new = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base[:10]),
+            (3, base[:8]),
+            (4, ["q1", "q2", "q3"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    opaque_empty = new.where("doc_id < 0")
+    for mode in ("conservative", "exact", False):
+        a = incremental_minhash_neardup(
+            new, None, jaccard_threshold=0.7, within_batch=mode
+        )
+        b = incremental_minhash_neardup(
+            new, opaque_empty, jaccard_threshold=0.7, within_batch=mode
+        )
+        assert sorted(r.doc_id for r in a.select("doc_id").collect()) == sorted(
+            r.doc_id for r in b.select("doc_id").collect()
+        ), mode
+
+
+def test_banded_without_corpus_toks_raises(spark):
+    from soweego_spark.operators.dedup import incremental_minhash_neardup
+
+    new = spark.createDataFrame(
+        [(1, ["a", "b"])], "doc_id long, tokens array<string>"
+    )
+    banded = spark.createDataFrame(
+        [], "doc_id long, band_id int, band_hash string"
+    )
+    with pytest.raises(ValueError, match="corpus_banded without"):
+        incremental_minhash_neardup(new, None, corpus_banded=banded)

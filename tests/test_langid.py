@@ -57,3 +57,4 @@ def test_classifier_scores_unseen_doc(spark):
     assert got.get(99) == "aa"
     # doc 100 shares NO trigram with any profile -> absent (documented)
     assert 100 not in got
+
