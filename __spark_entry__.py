@@ -70,7 +70,9 @@ resume (plans/checkpoint.py, tests/test_checkpoint_resume.py), sources
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import sys
 from collections.abc import Callable
 
@@ -904,6 +906,9 @@ def q_ingest_loop_3batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     td = tempfile.mkdtemp(prefix="gate_ingest_")
+    # the returned frame reads the state parquet lazily, so the dir must
+    # outlive this call — remove it at interpreter exit (ADVICE r6 leak)
+    atexit.register(shutil.rmtree, td, ignore_errors=True)
     cfg = IngestConfig(
         num_perm=32, bands=8, shingle_n=3, jaccard_threshold=0.7,
         hash_family="md5",
@@ -3779,6 +3784,9 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     td = tempfile.mkdtemp(prefix="gate_curate_")
+    # the returned frame reads the pack stage's parquet lazily, so the
+    # dir must outlive this call — remove at interpreter exit (ADVICE r6)
+    atexit.register(shutil.rmtree, td, ignore_errors=True)
     cfg = CurateConfig(
         gopher=True,
         lm=True,

@@ -91,11 +91,22 @@ def connected_components(
     dst: str = "url_b",
     max_iterations: int = 20,
     release_checkpoint: bool = False,
+    single_task_edges: int = 1_000_000,
 ) -> DataFrame:
     """Edge list -> (url, cluster_id) with cluster_id = min url in component.
 
     Only nodes that appear in an edge are returned; callers union isolated
     nodes with ``cluster_id = url`` themselves (see ``assign_clusters``).
+
+    ``single_task_edges`` (r7): when the whole edge set fits this cap, a
+    single-task union-find decides identically (cluster_id = min of
+    component; UTF-8 binary order == code-point order, so Python min
+    matches Spark string ordering) and the large-star/small-star loop's
+    per-iteration driver round trips vanish — the same memory envelope
+    as one shuffle partition of a skewed graph, and the same cap idea as
+    dedup._greedy_component_drops. The initial fingerprint action
+    already counts the edges, so the routing costs no extra job. Set 0
+    to force the iterative path (scale proofs, tests).
 
     The convergence loop unpersists each iteration's localCheckpoint, but
     the FINAL converged edge set stays pinned because the lazy result
@@ -129,6 +140,13 @@ def connected_components(
         return (row["n"], row["h"])
 
     fp = _fingerprint(e)
+
+    if 0 < fp[0] <= single_task_edges:
+        out = _union_find_single_task(e)
+        if release_checkpoint:
+            out = out.localCheckpoint()
+            _unpersist_checkpoint(e)
+        return out
     for _ in range(max_iterations):
         prev = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
@@ -150,6 +168,56 @@ def connected_components(
         out = out.localCheckpoint()  # eager: materializes before the release
         _unpersist_checkpoint(e)
     return out
+
+
+def _union_find_single_task(e: DataFrame) -> DataFrame:
+    """(src, dst) edges -> (url, cluster_id = component min) in ONE
+    applyInPandas task (path-halving union-find); semantics identical to
+    the converged star extraction."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = e.schema["src"].dataType
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["src"], pdf["dst"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the representative is already the
+                # component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        return pd.DataFrame(
+            {
+                "url": list(parent.keys()),
+                "cluster_id": [find(x) for x in parent.keys()],
+            }
+        )
+
+    return (
+        e.select(F.lit(0).alias("_g"), "src", "dst")
+        .groupBy("_g")
+        .applyInPandas(
+            uf,
+            schema=StructType(
+                [
+                    StructField("url", id_type),
+                    StructField("cluster_id", id_type),
+                ]
+            ),
+        )
+    )
 
 
 def assign_clusters(

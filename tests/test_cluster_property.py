@@ -98,7 +98,7 @@ def test_cc_loop_releases_checkpoint_rdds(spark):
         [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(120)],
         "url_a string, url_b string",
     )
-    out = connected_components(edges)
+    out = connected_components(edges, single_task_edges=0)
     assert out.select("cluster_id").distinct().count() == 1
     after = jsc.getPersistentRDDs().size()
     assert after <= before + 1, (before, after)
@@ -122,7 +122,9 @@ def test_cc_loop_one_action_per_iteration(spark):
         group = f"cc-jobs-{label}"
         sc.setJobGroup(group, "job-count probe")
         try:
-            out = connected_components(edges, release_checkpoint=True)
+            out = connected_components(
+                edges, release_checkpoint=True, single_task_edges=0
+            )
             assert out.select("cluster_id").distinct().count() == 1
         finally:
             sc.setJobGroup(None, None)
@@ -211,3 +213,27 @@ def test_pairwise_cluster_metrics_labeled_only(spark):
     assert (lab["tp_pairs"], lab["predicted_pairs"], lab["actual_pairs"]) \
         == (1, 1, 1)
     assert (lab["precision"], lab["recall"], lab["f1"]) == (1.0, 1.0, 1.0)
+
+
+def test_single_task_union_find_matches_iterative(spark):
+    """r7: the single-task union-find fast path must return exactly the
+    iterative star loop's (url, cluster_id) set on random graphs, chains
+    and cliques."""
+    import random
+
+    rnd = random.Random(7)
+    cases = [
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)],  # chain
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "a")],
+        [
+            (f"v{rnd.randrange(30):02d}", f"v{rnd.randrange(30):02d}")
+            for _ in range(60)
+        ],
+    ]
+    for rows in cases:
+        edges = spark.createDataFrame(rows, "url_a string, url_b string")
+        fast = connected_components(edges)
+        slow = connected_components(edges, single_task_edges=0)
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )
