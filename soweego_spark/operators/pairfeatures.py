@@ -86,15 +86,26 @@ def assemble_pairs(
     # desc_terms maps) — at 10^12 docs the description text would dominate
     # shuffle volume for zero benefit.
     url_stop = sorted(URL_STOPWORDS)
+    band_words = sorted(simkernels.BAND_LOW_SCORE_WORDS)
     sig = sig.withColumn(
         "url_tokens_nostop",
         F.filter(F.col("url_tokens"), lambda t: ~t.isin(url_stop)),
     ).withColumn(
         "occupations_exp",
         _expand_with_closure(F.col("occupations"), occupation_closure or {}),
+    ).withColumn(
+        # C5's band penalty hoisted to the document side (r7):
+        # |a∩b∩band| == |(a∩band) ∩ (b∩band)|, so intersecting each
+        # token set with the 33-word band list ONCE per document (InSet
+        # probe, no literal array) replaces a per-PAIR intersect against
+        # a literal array rebuilt per row (pairs outnumber docs ~20x) —
+        # same family as the url_tokens_nostop hoist above.
+        "name_tokens_band",
+        F.filter(F.col("name_tokens"), lambda t: t.isin(band_words)),
     )
     feature_cols = [
-        "name", "name_tokens", "urls", "url_tokens_nostop", "ext_ids",
+        "name", "name_tokens", "name_tokens_band", "urls",
+        "url_tokens_nostop", "ext_ids",
         "born_p", "died_p", "occupations_exp", "genres",
         "name_bigrams", "name_bigram_norm", "desc_terms", "desc_norm",
     ]
@@ -119,18 +130,28 @@ def _exact_list_match(a, b):
     ).otherwise(F.arrays_overlap(a, b).cast("double"))
 
 
-def _shared_tokens(a, b, band_words: list[str]):
-    """C5: (|∩| - 0.9*|∩ ∩ band_words|) / |∪| with set semantics."""
+def _shared_tokens(a, b, band_words: list[str], band_precomp=None):
+    """C5: (|∩| - 0.9*|∩ ∩ band_words|) / |∪| with set semantics.
+
+    ``band_precomp`` — per-side precomputed ``tokens ∩ band_words`` arrays
+    (from :func:`assemble_pairs`): the penalty becomes the intersect of two
+    tiny arrays instead of a per-pair probe of a literal band array.
+    The null guard tests ``size(a)==0 AND size(b)==0`` rather than
+    ``size(union)==0`` (equivalent for non-null sides) so the union array
+    is built once per pair, not twice."""
     inter = F.array_intersect(a, b)
     union = F.array_union(a, b)
-    penalty = (
-        F.size(F.array_intersect(inter, F.array(*[F.lit(w) for w in band_words])))
-        if band_words
-        else F.lit(0)
-    )
+    if band_precomp is not None:
+        penalty = F.size(F.array_intersect(*band_precomp))
+    elif band_words:
+        penalty = F.size(
+            F.array_intersect(inter, F.array(*[F.lit(w) for w in band_words]))
+        )
+    else:
+        penalty = F.lit(0)
     score = (F.size(inter) - penalty * F.lit(0.9)) / F.size(union)
     return F.when(
-        a.isNull() | b.isNull() | (F.size(F.array_union(a, b)) == 0),
+        a.isNull() | b.isNull() | ((F.size(a) == 0) & (F.size(b) == 0)),
         F.lit(FEATURE_MISSING_VALUE),
     ).otherwise(F.coalesce(score, F.lit(FEATURE_MISSING_VALUE)))
 
@@ -351,7 +372,12 @@ def compute_features(
             F.col("b_name_bigrams"), F.col("b_name_bigram_norm"),
         ),
         "name_shared": lambda: _shared_tokens(
-            F.col("a_name_tokens"), F.col("b_name_tokens"), band_words
+            F.col("a_name_tokens"), F.col("b_name_tokens"), band_words,
+            band_precomp=(
+                (F.col("a_name_tokens_band"), F.col("b_name_tokens_band"))
+                if "a_name_tokens_band" in pair_rows.columns
+                else None
+            ),
         ),
         "url_exact": lambda: _exact_list_match(
             F.col("a_urls"), F.col("b_urls")

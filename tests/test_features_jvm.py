@@ -155,3 +155,68 @@ def test_name_jw_feature_matches_kernel(spark):
             assert v == 0.0  # missing-value fill
         else:
             assert abs(v - truth) < 1e-12, (a, b, v, truth)
+
+
+def test_name_shared_band_hoist_matches_fallback(spark):
+    """r7: the band penalty precomputed per DOCUMENT in assemble_pairs
+    (name_tokens_band) must score identically to the per-pair fallback
+    that intersects against the literal band-word array — including pairs
+    whose intersection contains band words, empty sides, and nulls."""
+    from pyspark.sql import functions as F
+
+    from soweego_spark.operators.pairfeatures import (
+        assemble_pairs,
+        compute_features,
+    )
+
+    sig = spark.createDataFrame(
+        [
+            ("u1", ["band", "club", "martha"]),
+            ("u2", ["band", "club", "marhta"]),
+            ("u3", ["band", "dixon"]),
+            ("u4", ["dixon", "zz"]),
+            ("u5", []),
+            ("u6", None),
+        ],
+        "url string, name_tokens array<string>",
+    ).select(
+        "url", "name_tokens",
+        F.col("name_tokens").alias("name"),
+        F.lit(None).cast("array<string>").alias("urls"),
+        F.lit(None).cast("array<string>").alias("url_tokens"),
+        F.lit(None).cast("array<string>").alias("occupations"),
+        F.lit(None).cast("array<string>").alias("genres"),
+        F.lit(None).cast(
+            "array<struct<y:int,mo:int,d:int,h:int,mi:int,s:int,depth:int>>"
+        ).alias("born_p"),
+        F.lit(None).cast(
+            "array<struct<y:int,mo:int,d:int,h:int,mi:int,s:int,depth:int>>"
+        ).alias("died_p"),
+        F.lit(None).cast("map<string,int>").alias("name_bigrams"),
+        F.lit(None).cast("double").alias("name_bigram_norm"),
+        F.lit(None).cast("map<string,int>").alias("desc_terms"),
+        F.lit(None).cast("double").alias("desc_norm"),
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3"), ("u3", "u4"), ("u4", "u5"),
+         ("u5", "u6"), ("u1", "u6")],
+        "url_a string, url_b string",
+    )
+    rows = assemble_pairs(pairs, sig)
+    assert "a_name_tokens_band" in rows.columns
+    hoisted = {
+        (r["url_a"], r["url_b"]): r["name_shared"]
+        for r in compute_features(rows).collect()
+    }
+    fallback = {
+        (r["url_a"], r["url_b"]): r["name_shared"]
+        for r in compute_features(
+            rows.drop("a_name_tokens_band", "b_name_tokens_band")
+        ).collect()
+    }
+    assert set(hoisted) == set(fallback)
+    for k in hoisted:
+        assert _close(hoisted[k], fallback[k]), (k, hoisted[k], fallback[k])
+    # the penalty actually fires on this fixture (u1-u2 share 2 band
+    # words: inter={band,club}, union size 4 -> (2 - 2*0.9)/4)
+    assert _close(hoisted[("u1", "u2")], (2 - 2 * 0.9) / 4)
