@@ -274,14 +274,29 @@ def _date_pair_score_one(lv, rv):
 
 def _date_sim_expr(a, b):
     """C4: best cross-product score; null list elements contribute nothing
-    (array_max skips the nulls their comparison produces)."""
+    (array_max skips the nulls their comparison produces).
+
+    1x1 fast path (r7): date lists are overwhelmingly single-element, and
+    the general form pays four interpreted HOF nodes (transform x2 +
+    flatten + array_max) per pair for a singleton max. When both sides
+    have exactly one element the score is computed directly — identical
+    by construction (array_max of a singleton is its element; a null
+    element's score is null in both forms and coalesces to 0.0).
+    CaseWhen evaluates lazily, so only one branch runs per row."""
     scores = F.flatten(
         F.transform(a, lambda lv: F.transform(b, lambda rv: _date_pair_score_one(lv, rv)))
     )
+    best = F.when(
+        (F.size(a) == 1) & (F.size(b) == 1),
+        F.coalesce(
+            _date_pair_score_one(F.element_at(a, 1), F.element_at(b, 1)),
+            F.lit(0.0),
+        ),
+    ).otherwise(F.coalesce(F.array_max(scores), F.lit(0.0)))
     return F.when(
         a.isNull() | b.isNull() | (F.size(a) == 0) | (F.size(b) == 0),
         F.lit(None).cast("double"),
-    ).otherwise(F.coalesce(F.array_max(scores), F.lit(0.0)))
+    ).otherwise(best)
 
 
 RULE_COLUMNS = [
