@@ -815,22 +815,37 @@ def incremental_minhash_neardup(
     # rows, tiny relative to the batch) instead of recomputing signatures
     # per consumer (~1.5x wall measured at sf0.1). Same pinned-RDD budget
     # as documented on _greedy_component_drops.
-    edges = confirm(batch_cand, new_toks).select("doc_id", "other_id")
+    #
+    # The two checkpoints are INDEPENDENT jobs (the corpus confirm and
+    # the in-batch confirm both hang off the persisted new_banded /
+    # token frames; the corpus-dropped pruning of the edge graph is an
+    # id-only anti join that can run AFTER both materialize), so they
+    # are materialized CONCURRENTLY from two driver threads — the second
+    # job's tasks back-fill executors the first job's tail leaves idle
+    # (guide §2.6; measured 14.4 -> 11.5 s on the exact-mode gate
+    # action diagnostic at sf0.1).
+    edges_raw = confirm(batch_cand, new_toks).select("doc_id", "other_id")
     if corpus_empty:
         # no corpus: no unconditional drops, no edge filtering — the
         # greedy pass over the in-batch graph is the whole answer
         corpus_dropped = None
+        edges = edges_raw.localCheckpoint()
     else:
-        corpus_dropped = (
-            confirm(cand, corpus_toks).select("doc_id").distinct()
-            .localCheckpoint()
-        )
-        edges = edges.join(corpus_dropped, "doc_id", "left_anti").join(
+        from concurrent.futures import ThreadPoolExecutor
+
+        cd_frame = confirm(cand, corpus_toks).select("doc_id").distinct()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_cd = pool.submit(cd_frame.localCheckpoint)
+            f_er = pool.submit(edges_raw.localCheckpoint)
+            corpus_dropped = f_cd.result()
+            edges_raw = f_er.result()
+        # id-only join of two materialized checkpoints — cheap to
+        # (re)compute, so the greedy pass needs no third checkpoint
+        edges = edges_raw.join(corpus_dropped, "doc_id", "left_anti").join(
             corpus_dropped.select(F.col("doc_id").alias("other_id")),
             "other_id",
             "left_anti",
         )
-    edges = edges.localCheckpoint()
     greedy = _greedy_component_drops(
         edges, max_component_edges=max_component_edges
     )
