@@ -50,6 +50,41 @@ def gopher_quality(
     toks = docs.select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("w")
     )
+    # Per-doc bigram MODE computed inside the row (r7): sort the bigram
+    # array and fold for the longest equal run — the same integer the old
+    # explode -> groupBy(id, gram) -> max-per-doc pipeline produced, but
+    # with ZERO exchanges (the relational shape shuffled every (doc,
+    # bigram) pair twice and joined back; this is one narrow projection,
+    # guide §2.4). Work per row is O(n log n) in the doc's word count —
+    # bounded by the same array the row already holds. Bigrams are
+    # "word word", never empty, so the "" init sentinel cannot match the
+    # first element.
+    bigrams = F.zip_with(
+        F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
+        F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    mode_fold = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     base = toks.select(
         "id",
         F.size("w").alias("word_count"),
@@ -57,30 +92,13 @@ def gopher_quality(
         F.aggregate(
             "w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         ).alias("char_sum"),
-    )
-    grams = (
-        toks.select(
-            "id",
-            F.explode(
-                F.zip_with(
-                    F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
-                    F.slice(
-                        "w", 2, F.greatest(F.size("w") - 1, F.lit(0))
-                    ),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                )
-            ).alias("g"),
-        )
-        .groupBy("id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("id")
-        .agg(F.max("c").alias("top_bigram_count"))
+        mode_fold.alias("top_bigram_count"),
     )
     # word_count == 0 (empty/whitespace docs — exactly what the filter
     # exists to reject) must yield a failing verdict, not a
     # DIVIDE_BY_ZERO throw under Spark 4 ANSI mode
     nz = F.greatest(F.col("word_count"), F.lit(1))
-    j = base.join(grams, "id", "left").select(
+    j = base.select(
         "id",
         F.col("word_count").cast("long").alias("word_count"),
         (F.col("char_sum") / nz).alias("mean_word_len"),

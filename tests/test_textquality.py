@@ -104,3 +104,30 @@ def test_gopher_empty_and_whitespace_docs_fail_not_throw(spark):
     assert m[2]["word_count"] == 0 and m[2]["quality_pass"] is False
     assert m[1]["mean_word_len"] == 0.0 and m[1]["distinct_ratio"] == 0.0
     assert m[3]["quality_pass"] is True
+
+
+def test_gopher_bigram_mode_fold_matches_counter(spark):
+    """r7: the in-row sorted-fold bigram mode (zero-exchange) equals a
+    Python Counter mode on random repetitive texts — the integer the old
+    explode -> groupBy(id, gram) -> max pipeline produced."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "spam", "egg"]
+    rows = []
+    for i in range(40):
+        n = rng.randint(0, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r.asDict() for r in gopher_quality(docs).collect()
+    }
+    for i, text in rows:
+        words = [w for w in text.lower().split() if w]
+        bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        top = max(Counter(bigrams).values()) if bigrams else 0
+        denom = max(len(words) - 1, 1)
+        assert got[i]["top_bigram_frac"] == top / denom, (
+            i, text, got[i]["top_bigram_frac"], top, denom,
+        )
