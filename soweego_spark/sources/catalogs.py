@@ -580,9 +580,18 @@ def musicbrainz_link_tables(
     one_entity = l_artist_url.groupBy("url_id").agg(
         F.min("entity_id").alias("entity_id")
     )
+    # asNondeterministic (guide §4.4): the isNotNull filter on the
+    # UDF-computed column is otherwise DUPLICATED by filter pushdown —
+    # and here it pushes straight through the caller's distinct
+    # aggregate, re-running the Arrow kernel on every PRE-distinct row
+    # (75x the needed rows in the gate fixture). The kernel is pure, so
+    # results are unchanged; only the optimizer's licence to copy the
+    # expression is revoked (plan: 2 ArrowEvalPython per branch -> 1).
     first_valid = url.select(
         F.col("id").alias("url_id"),
-        F.element_at(clean_and_validate(F.col("url")), 1).alias("_url"),
+        F.element_at(
+            clean_and_validate.asNondeterministic()(F.col("url")), 1
+        ).alias("_url"),
     ).filter(F.col("_url").isNotNull())
     linked = (
         one_entity.join(first_valid, "url_id")
