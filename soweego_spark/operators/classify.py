@@ -255,11 +255,21 @@ def confusion_and_f1(predicted: DataFrame, labeled: DataFrame) -> dict:
         F.broadcast(labeled.select("url_a", "url_b", "label")),
         ["url_a", "url_b"],
     )
-    row = hits.agg(
+    agg = hits.agg(
         F.sum((F.col("label") == 1).cast("long")).alias("tp"),
         F.sum((F.col("label") == 0).cast("long")).alias("fp"),
-    ).first()
-    n_pos = labeled.filter(F.col("label") == 1).count()
+    )
+    # the hit aggregate and the labeled-positive count are independent
+    # jobs — launch them from two driver threads so the tiny count
+    # back-fills the agg's tail instead of paying a second sequential
+    # driver round-trip (guide §2.6; r7)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_row = pool.submit(agg.first)
+        f_pos = pool.submit(labeled.filter(F.col("label") == 1).count)
+        row = f_row.result()
+        n_pos = f_pos.result()
     tp = int(row["tp"] or 0)
     fp = int(row["fp"] or 0)
     fn = n_pos - tp
