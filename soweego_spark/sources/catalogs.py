@@ -330,9 +330,18 @@ def discogs_master_tables(masters: DataFrame) -> dict[str, DataFrame]:
 # ------------------------------------------------------------------ IMDb
 
 
-def imdb_person_tables(people: DataFrame) -> dict[str, DataFrame]:
+def imdb_person_tables(
+    people: DataFrame, cache_base: bool = False
+) -> dict[str, DataFrame]:
     """IMDb name-basics rows -> five per-profession person tables + the
     person-movie relationship edges.
+
+    ``cache_base=True`` persists the parsed base frame so the six output
+    tables filter ONE parse instead of re-running the scan + profession/
+    QID/date derivation per table (r7; callers that consume the tables
+    in one session, e.g. the whole-flavor gate union, opt in — the
+    default stays uncached so long-lived jobs control their own cache
+    lifecycle).
 
     Input columns (the TSV reader already turns ``\\N`` into NULL):
     nconst, primaryName, birthYear, deathYear, primaryProfession,
@@ -393,6 +402,8 @@ def imdb_person_tables(people: DataFrame) -> dict[str, DataFrame]:
         .withColumn("_born", year_date("birthYear"))
         .withColumn("_died", year_date("deathYear"))
     )
+    if cache_base:
+        base = base.persist()
 
     misc_only = (F.size("_profs") == 1) & (
         F.element_at("_profs", 1) == "miscellaneous"
